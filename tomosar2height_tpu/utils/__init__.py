@@ -1,0 +1,2 @@
+from tomosar2height_tpu.utils.seeding import lock_seed  # noqa: F401
+from tomosar2height_tpu.utils.logging import setup_logging, MetricLogger  # noqa: F401

@@ -1,0 +1,99 @@
+"""Console/file logging plus a wandb-compatible metrics logger.
+
+The reference logs via Hydra colorlog (conf/hydra/job_logging/custom.yaml) and
+wandb (train.py:60-67,159-165). Neither is available here; ``MetricLogger``
+exposes the same ``init/log/watch/finish`` call surface and persists metrics as
+JSONL under the run directory so external tooling (or wandb, if installed) can
+consume them.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from typing import Any, Dict, Optional
+
+
+def setup_logging(log_file: Optional[str] = None, console_level: int = logging.INFO,
+                  file_level: int = logging.DEBUG,
+                  fmt: str = "%(asctime)s - %(levelname)s - %(filename)s - %(funcName)s >> %(message)s"):
+    root = logging.getLogger()
+    root.setLevel(min(console_level, file_level))
+    root.handlers = [h for h in root.handlers if not isinstance(h, (logging.StreamHandler, logging.FileHandler))]
+    ch = logging.StreamHandler()
+    ch.setLevel(console_level)
+    ch.setFormatter(logging.Formatter(fmt))
+    root.addHandler(ch)
+    if log_file:
+        os.makedirs(os.path.dirname(log_file) or ".", exist_ok=True)
+        fh = logging.FileHandler(log_file)
+        fh.setLevel(file_level)
+        fh.setFormatter(logging.Formatter(fmt))
+        root.addHandler(fh)
+
+
+class MetricLogger:
+    """wandb-compatible metric sink writing JSONL (and wandb when importable)."""
+
+    def __init__(self):
+        self._file = None
+        self._wandb = None
+        self.enabled = False
+
+    def init(self, project: str, config: Dict[str, Any], name: str, dir: str,
+             mode: str = "disabled"):
+        self.enabled = mode != "disabled"
+        os.makedirs(dir, exist_ok=True)
+        self._path = os.path.join(dir, "metrics.jsonl")
+        self._file = open(self._path, "a")
+        self._file.write(json.dumps({
+            "_event": "init", "project": project, "name": name,
+            "time": time.time(), "config": _jsonable(config),
+        }) + "\n")
+        self._file.flush()
+        if self.enabled:
+            try:
+                import wandb  # type: ignore
+
+                self._wandb = wandb
+                wandb.init(project=project, config=config, name=name, dir=dir, mode="online")
+            except ImportError:
+                logging.getLogger(__name__).warning("wandb requested but not installed; JSONL only")
+        return self
+
+    def watch(self, *_args, **_kwargs):
+        pass
+
+    def log(self, metrics: Dict[str, Any], step: Optional[int] = None):
+        if self._file is None:
+            return
+        rec = {"_step": step, "time": time.time()}
+        rec.update(_jsonable(metrics))
+        self._file.write(json.dumps(rec) + "\n")
+        self._file.flush()
+        if self._wandb is not None:
+            self._wandb.log(metrics, step=step)
+
+    def finish(self):
+        if self._file is not None:
+            self._file.close()
+            self._file = None
+        if self._wandb is not None:
+            self._wandb.finish()
+
+
+def _jsonable(obj):
+    if isinstance(obj, dict):
+        return {str(k): _jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_jsonable(v) for v in obj]
+    if hasattr(obj, "item") and callable(obj.item):
+        try:
+            return obj.item()
+        except Exception:
+            return str(obj)
+    if isinstance(obj, (str, int, float, bool)) or obj is None:
+        return obj
+    return str(obj)

@@ -1,0 +1,21 @@
+"""Deterministic seeding (parity: reference utils/lock_seed.py:6-16).
+
+The reference seeds python/numpy/torch globals; in JAX, device-side randomness is
+explicit via PRNG keys, so ``lock_seed`` seeds the host generators (python's
+``random``, numpy) — used by the patch sampler — and returns a ``jax.random`` key
+for any device-side use.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+
+
+def lock_seed(seed: int = 0):
+    random.seed(seed)
+    np.random.seed(seed)
+    import jax
+
+    return jax.random.PRNGKey(seed)
