@@ -1,0 +1,188 @@
+"""ALTO dual-topology U-Net: a grid U-Net where every level round-trips
+grid <-> points (the paper's core idea; reference tomosar2height/encoder/alto.py).
+
+Per Down/Up level (reference alto.py:97-138, 207-257):
+
+1. two 3x3 convs (ReLU) on the feature plane,
+2. residual from the previous level's post-conv plane via 1x1 conv
+   (pooled first on deeper encoder levels),
+3. bilinear-sample the plane at the point coordinates (grid_sample, border,
+   align_corners=True),
+4. per-point communication MLP ``fc_comm`` + linear skip ``fc_c`` from the
+   previous level's point features,
+5. scatter_mean the point features back into the plane at the current
+   resolution, then pool (down) / transpose-conv upsample (up) with grid-space
+   skip connections ('concat' merge).
+
+TPU-first re-design: NHWC planes, points padded to a static bucket with a
+validity mask (masked segment reductions), per-resolution cell ids computed
+once per forward and reused across levels.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from tomosar2height_tpu.models.blocks import MLP2, conv1x1, conv3x3, kernel_init, max_pool_2x2, upconv2x2
+from tomosar2height_tpu.ops.sampling import grid_sample_2d
+from tomosar2height_tpu.ops.scatter import cell_index, segment_mean
+
+
+def _scatter_plane(xy, c, reso, mask, cell_cache):
+    """scatter_mean point features into a (reso, reso) NHWC plane
+    (reference alto.py:76-88)."""
+    idx = cell_cache.get(reso)
+    if idx is None:
+        idx = cell_index(xy, reso)
+        cell_cache[reso] = idx
+    plane = segment_mean(c, idx, reso * reso, mask)
+    b = c.shape[0]
+    return plane.reshape(b, reso, reso, c.shape[-1])
+
+
+class AltoDownConv(nn.Module):
+    """Encoder level with grid<->point communication (reference alto.py:48-138)."""
+
+    features: int
+    level: int
+    pooling: bool
+    depth: int
+    sample_mode: str = "bilinear"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xy, x, x_after_conv, c_last, mask, cell_cache):
+        x = nn.relu(conv3x3(self.features, "conv1", self.dtype)(x))
+        x = nn.relu(conv3x3(self.features, "conv2", self.dtype)(x))
+
+        if x_after_conv is not None:
+            if self.level >= 2:
+                # deeper levels: previous plane is one pooling step behind
+                res = conv1x1(self.features, "res1x1", self.dtype)(max_pool_2x2(x_after_conv))
+            else:  # level == 1: same resolution as level 0 (which never pools)
+                res = conv1x1(self.features, "res1x1", self.dtype)(x_after_conv)
+            x = x + res
+        x_after_conv = x
+
+        reso = x.shape[1]
+        c = grid_sample_2d(x, xy, mode=self.sample_mode)
+        c = MLP2(self.features, self.dtype, name="fc_comm")(c)
+        if c_last is not None:
+            c = c + nn.Dense(self.features, kernel_init=kernel_init, dtype=self.dtype,
+                             name="fc_c")(c_last)
+
+        x = _scatter_plane(xy, c, reso, mask, cell_cache)
+        before_pool = x
+        if self.pooling:
+            x = max_pool_2x2(x)
+        return x, before_pool, x_after_conv, c
+
+
+class AltoUpConv(nn.Module):
+    """Decoder level with grid<->point communication (reference alto.py:141-257)."""
+
+    features: int
+    level: int
+    depth: int
+    merge_mode: str = "concat"
+    sample_mode: str = "bilinear"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xy, from_down, from_up, x_after_conv, c_last, mask, cell_cache):
+        last = self.level == self.depth - 2
+        if last:
+            # final level: encoder level 0 never pooled, so no upsampling needed
+            from_up = conv1x1(self.features, "upconv_noup", self.dtype)(from_up)
+        else:
+            from_up = upconv2x2(self.features, "upconv", self.dtype)(from_up)
+
+        if self.merge_mode == "concat":
+            x = jnp.concatenate([from_up, from_down], axis=-1)
+        else:
+            x = from_up + from_down
+        x = nn.relu(conv3x3(self.features, "conv1", self.dtype)(x))
+        x = nn.relu(conv3x3(self.features, "conv2", self.dtype)(x))
+
+        if x_after_conv is not None:
+            if last:
+                res = conv1x1(self.features, "res1x1", self.dtype)(x_after_conv)
+            else:
+                res = upconv2x2(self.features, "res_up", self.dtype)(x_after_conv)
+            x = x + res
+        x_after_conv = x
+
+        if last:
+            # reference alto.py:241-242: no point round-trip on the final level
+            return x, x_after_conv, c_last
+
+        reso = x.shape[1]
+        c = grid_sample_2d(x, xy, mode=self.sample_mode)
+        c = MLP2(self.features, self.dtype, name="fc_comm")(c)
+        if c_last is not None:
+            c = c + nn.Dense(self.features, kernel_init=kernel_init, dtype=self.dtype,
+                             name="fc_c")(c_last)
+        x = _scatter_plane(xy, c, reso, mask, cell_cache)
+        return x, x_after_conv, c
+
+
+class AltoUNet(nn.Module):
+    """Dual-topology U-Net over an NHWC plane + point set (alto.py:260-382).
+
+    Channel/resolution schedule for depth=5 on a 256^2 plane:
+    down 32@256 -> 64@256(pool) -> 128@128(pool) -> 256@64(pool) -> 512@32;
+    up 256@64 -> 128@128 -> 64@256 -> 32@256 (no point round-trip on the last).
+    """
+
+    num_classes: int
+    depth: int = 5
+    start_filts: int = 32
+    merge_mode: str = "concat"
+    up_mode: str = "transpose"
+    sample_mode: str = "bilinear"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        points: jnp.ndarray,
+        plane: jnp.ndarray,
+        c: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """
+        Args:
+            points: (B, N, >=2) normalized point coordinates (xy used).
+            plane: (B, R, R, C_in) initial feature plane.
+            c: (B, N, C_in) initial per-point features.
+            mask: (B, N) validity of padded points.
+
+        Returns:
+            (B, R, R, num_classes) output plane.
+        """
+        xy = points[..., :2]
+        cell_cache: Dict[int, jnp.ndarray] = {}
+
+        encoder_outs = []
+        x, x_after_conv = plane, None
+        outs = self.start_filts
+        for i in range(self.depth):
+            outs = self.start_filts * (2 ** i)
+            pooling = 0 < i < self.depth - 1
+            x, before_pool, x_after_conv, c = AltoDownConv(
+                outs, i, pooling, self.depth, self.sample_mode, self.dtype, name=f"down{i}"
+            )(xy, x, x_after_conv, c, mask, cell_cache)
+            encoder_outs.append(before_pool)
+
+        for i in range(self.depth - 1):
+            outs = outs // 2
+            from_down = encoder_outs[-(i + 2)]
+            x, x_after_conv, c = AltoUpConv(
+                outs, i, self.depth, self.merge_mode, self.sample_mode, self.dtype,
+                name=f"up{i}",
+            )(xy, from_down, x, x_after_conv, c, mask, cell_cache)
+
+        return conv1x1(self.num_classes, "conv_final", self.dtype)(x)

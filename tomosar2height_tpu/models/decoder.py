@@ -1,0 +1,92 @@
+"""Pixelwise decoders: align feature planes to the output raster, sum, decode.
+
+Parity: reference tomosar2height/decoder/pixel.py — ConvDecoder (:8-32) with
+dense skip-concat 1x1, FCDecoder (:35-58), PixelwiseDecoder (:61-125) fusing the
+'xy' (point) and 'image' planes by align_corners bilinear upsample + summation.
+NHWC throughout (outputs already (B, H, W, out_dim); the reference permutes).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from tomosar2height_tpu.models.blocks import ResnetBlockFC, kernel_init
+from tomosar2height_tpu.ops.resize import resize_bilinear
+
+
+class ConvDecoder(nn.Module):
+    """conv3x3 chain 32->64->128->64 + 1x1 over the dense concat (288 ch)
+    (reference pixel.py:8-32)."""
+
+    out_channels: int = 1
+    leaky: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        act = nn.leaky_relu if self.leaky else nn.relu
+        conv = lambda f, k, n: nn.Conv(f, (k, k), padding="SAME", kernel_init=kernel_init,
+                                       dtype=self.dtype, name=n)
+        x1 = act(conv(64, 3, "conv1")(x))
+        x2 = act(conv(128, 3, "conv2")(x1))
+        x3 = act(conv(64, 3, "conv3")(x2))
+        cat = jnp.concatenate([x, x1, x2, x3], axis=-1)
+        return conv(self.out_channels, 1, "conv4")(cat)
+
+
+class FCDecoder(nn.Module):
+    """Per-pixel ResNet-FC decoder (reference pixel.py:35-58)."""
+
+    out_channels: int = 1
+    n_blocks: int = 5
+    leaky: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        act = nn.leaky_relu if self.leaky else nn.relu
+        for i in range(self.n_blocks):
+            x = ResnetBlockFC(dtype=self.dtype, name=f"block{i}")(x)
+        return nn.Dense(self.out_channels, kernel_init=kernel_init, dtype=self.dtype,
+                        name="fc_out")(act(x))
+
+
+class PixelwiseDecoder(nn.Module):
+    """Fuse feature planes into height (and optional footprint) rasters
+    (reference pixel.py:61-125).
+
+    Returns (x, x_footprint); footprint is None unless ``use_footprint``.
+    """
+
+    hidden_dim: int = 32
+    out_dim: int = 1
+    output_size: int = 512
+    leaky: bool = False
+    sample_mode: str = "bilinear"
+    mode: str = "conv"
+    use_footprint: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, feature_planes: dict):
+        if self.mode not in ("conv", "fc"):
+            raise ValueError("Invalid mode. Use 'conv' or 'fc'.")
+        c = 0.0
+        if "xy" in feature_planes:
+            c = c + resize_bilinear(feature_planes["xy"], self.output_size)
+        if "image" in feature_planes:
+            c = c + resize_bilinear(feature_planes["image"], self.output_size)
+
+        x_footprint = None
+        if self.mode == "conv":
+            x = ConvDecoder(self.out_dim, self.leaky, self.dtype, name="conv_decoder")(c)
+            if self.use_footprint:
+                x_footprint = ConvDecoder(self.out_dim, False, self.dtype,
+                                          name="conv_decoder_footprint")(c)
+        else:
+            x = FCDecoder(self.out_dim, 5, self.leaky, self.dtype, name="fc_decoder")(c)
+            if self.use_footprint:
+                x_footprint = FCDecoder(self.out_dim, 5, False, self.dtype,
+                                        name="fc_decoder_footprint")(c)
+        return x, x_footprint

@@ -1,0 +1,89 @@
+"""LocalPoolPointnet: per-point ResNet-FC MLP with interleaved local pooling,
+then scatter to a feature plane refined by a (plain or ALTO) U-Net.
+
+Parity: reference tomosar2height/encoder/pointnet.py:13-111. TPU-first changes:
+padded points + validity mask, NHWC plane, cell ids computed once.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from tomosar2height_tpu.models.alto import AltoUNet
+from tomosar2height_tpu.models.blocks import ResnetBlockFC, kernel_init
+from tomosar2height_tpu.models.unet import UNet
+from tomosar2height_tpu.ops.scatter import (
+    cell_index,
+    pool_local_max,
+    pool_local_mean,
+    segment_mean,
+)
+
+
+class LocalPoolPointnet(nn.Module):
+    """Point encoder producing a dict of feature planes (key 'xy').
+
+    Args mirror the reference ctor (pointnet.py:29-58): ``feature_dim``,
+    ``hidden_dim``, ``plane_resolution``, ``scatter_type`` ('max'/'mean'),
+    ``unet_type`` ('unet'/'alto'), ``unet_kwargs``, ``n_blocks``.
+    """
+
+    feature_dim: int = 32
+    dim: int = 3
+    hidden_dim: int = 32
+    scatter_type: str = "max"
+    unet_type: str = "alto"
+    unet_kwargs: Optional[dict] = None
+    plane_resolution: int = 256
+    n_blocks: int = 5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, points: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> dict:
+        """
+        Args:
+            points: (B, N, 3) normalized to [0, 1] (padded to bucket size N).
+            mask: (B, N) bool validity of each point.
+
+        Returns:
+            {'xy': (B, R, R, feature_dim)} refined feature plane.
+        """
+        reso = self.plane_resolution
+        xy = points[..., :2]
+        index = cell_index(xy, reso)
+
+        if self.scatter_type == "max":
+            pool = pool_local_max
+        elif self.scatter_type == "mean":
+            pool = pool_local_mean
+        else:
+            raise ValueError(f"Invalid scatter type: {self.scatter_type}")
+
+        net = nn.Dense(2 * self.hidden_dim, kernel_init=kernel_init, dtype=self.dtype,
+                       name="fc_pos")(points)
+        net = ResnetBlockFC(self.hidden_dim, dtype=self.dtype, name="block0")(net)
+        for i in range(1, self.n_blocks):
+            pooled = pool(net, index, reso, mask)
+            net = jnp.concatenate([net, pooled], axis=-1)
+            net = ResnetBlockFC(self.hidden_dim, dtype=self.dtype, name=f"block{i}")(net)
+
+        net = nn.relu(net)
+        net = nn.Dense(self.feature_dim, kernel_init=kernel_init, dtype=self.dtype,
+                       name="fc_c")(net)
+
+        plane = segment_mean(net, index, reso * reso, mask)
+        plane = plane.reshape(points.shape[0], reso, reso, self.feature_dim)
+
+        unet_kwargs = dict(self.unet_kwargs or {})
+        if self.unet_type == "unet":
+            fea = UNet(self.feature_dim, dtype=self.dtype, name="unet", **unet_kwargs)(plane)
+        elif self.unet_type == "alto":
+            fea = AltoUNet(self.feature_dim, dtype=self.dtype, name="unet", **unet_kwargs)(
+                points, plane, net, mask
+            )
+        else:
+            raise ValueError(f"Unknown unet_type: {self.unet_type}")
+        return {"xy": fea}
