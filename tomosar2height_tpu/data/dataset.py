@@ -1,0 +1,257 @@
+"""Patch sampler over the chunked dataset (host, numpy; float64 geo-math).
+
+Parity: reference dataset.py:45-330 — in-RAM chunk store, random / sliding-window
+anchors, float64 world->unit-cube normalization with per-patch z-shift, consistent
+90-deg rotation/flip augmentation of points + image + DSM, per-patch image/DSM
+crops with a final vertical flip into y-up orientation (:310, :328).
+
+TPU-first deviations:
+- returns numpy patches; padding to static point buckets happens in
+  :mod:`tomosar2height_tpu.data.pipeline` (masked, SURVEY.md §7.2);
+- images stored channel-normalized float32 HWC (the model is NHWC).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+import yaml
+
+from tomosar2height_tpu.geo import (
+    FLIP_MATRICES,
+    ROT_MATRICES,
+    RasterReader,
+    apply_transform,
+    crop_pc_2d,
+    invert_transform,
+)
+
+log = logging.getLogger(__name__)
+
+INPUT_POINT_CLOUD = "input_point_cloud.npz"
+CHUNK_INFO = "chunk_info.yaml"
+
+
+class TomoSARDataset:
+    """Iterable patch source for one split ('train'/'val'/'test'/'vis')."""
+
+    def __init__(
+        self,
+        split: str,
+        cfg_dataset: Dict,
+        random_sample: bool = False,
+        random_length: Optional[int] = None,
+        flip_augm: bool = False,
+        rotate_augm: bool = False,
+    ):
+        self.split = split
+        self._cfg_data = cfg_dataset
+        self.patch_size = np.asarray(cfg_dataset["patch_size"], dtype=np.float64)
+        self.dataset_chunk_idx_ls: List[int] = list(cfg_dataset[f"{split}_chunks"])
+
+        dataset_dir = cfg_dataset["path"]
+        with open(os.path.join(dataset_dir, CHUNK_INFO)) as f:
+            self.chunk_info: Dict[int, dict] = yaml.safe_load(f)
+        self.chunk_info_ls = [self.chunk_info[i] for i in self.dataset_chunk_idx_ls]
+
+        # satellite images (optional): normalize once, keep HWC float32
+        self.images: List[RasterReader] = []
+        images_dic = cfg_dataset.get("satellite_image")
+        self.norm_image_data: Optional[np.ndarray] = None
+        if images_dic is not None:
+            folder = images_dic["folder"]
+            for image_name in images_dic["pairs"]:
+                self.images.append(RasterReader(os.path.join(folder, image_name)))
+                log.debug("Satellite image loaded: %s", image_name)
+            assert len(self.images) <= 2, "Only support single image or stereo image"
+            assert self.images[-1].T == self.images[0].T
+            chans = []
+            for img in self.images:
+                for b in (1, 2, 3):
+                    chans.append(img.get_data(b).astype(np.float64))
+            stack = np.stack(chans, axis=0)  # (3*n_img, H, W)
+            mean = np.asarray(images_dic["normalize"]["mean"], dtype=np.float64)
+            std = np.asarray(images_dic["normalize"]["std"], dtype=np.float64)
+            if mean.shape[0] != stack.shape[0]:  # stereo: repeat stats per image
+                mean = np.tile(mean, len(self.images))
+                std = np.tile(std, len(self.images))
+            stack = (stack - mean[:, None, None]) / std[:, None, None]
+            self.norm_image_data = stack.astype(np.float32)
+
+        self.n_images = len(self.images)
+        if self.n_images > 0:
+            self._image_pixel_size = np.asarray(self.images[0].pixel_size, dtype=np.float64)
+            shape = self.patch_size / self._image_pixel_size
+            assert np.all(np.floor(shape) == shape), \
+                "Patch size should be integer multiple of image pixel size"
+            self._image_patch_shape = np.floor(shape).astype(np.int64)
+
+        # GT nDSM in RAM
+        dsm_path = cfg_dataset.get("dsm_gt_path")
+        self.dsm = RasterReader(dsm_path)
+        self._dsm_pixel_size = np.asarray(self.dsm.pixel_size, dtype=np.float64)
+        self.dsm_data = self.dsm.get_data(1).astype(np.float32)
+        shape = self.patch_size / self._dsm_pixel_size
+        assert np.all(np.floor(shape) == shape), \
+            "Patch size should be integer multiple of DSM pixel size"
+        self._dsm_patch_shape = np.floor(shape).astype(np.int64)
+
+        # per-chunk point clouds in RAM (float64 world coordinates)
+        self.data_dic: Dict[int, dict] = {}
+        for chunk_idx in self.dataset_chunk_idx_ls:
+            info = self.chunk_info[chunk_idx]
+            path = os.path.join(dataset_dir, info["name"], INPUT_POINT_CLOUD)
+            with np.load(path) as z:
+                pts = z["pts"].astype(np.float64)
+            self.data_dic[chunk_idx] = {"name": info["name"], "inputs": pts}
+
+        self.random_sample = random_sample
+        self.random_length = random_length
+        if self.random_sample and random_length is None:
+            log.warning("random_length not provided when random_sample = True")
+            self.random_length = 10
+        self.flip_augm = flip_augm
+        self.rotate_augm = rotate_augm
+
+        # sliding-window anchors for deterministic splits (reference dataset.py:160-181)
+        self.anchor_points: List[dict] = []
+        if not self.random_sample:
+            strip = np.asarray(
+                cfg_dataset["sliding_window"][f"{split}_strip"], dtype=np.float64
+            )
+            for chunk_idx in self.dataset_chunk_idx_ls:
+                info = self.chunk_info[chunk_idx]
+                mn = np.asarray(info["min_bound"], dtype=np.float64)
+                mx = np.asarray(info["max_bound"], dtype=np.float64)
+                px = np.arange(mn[0], mx[0] - self.patch_size[0], strip[0])
+                px = np.concatenate([px, [mx[0] - self.patch_size[0]]])
+                py = np.arange(mn[1], mx[1] - self.patch_size[1], strip[1])
+                py = np.concatenate([py, [mx[1] - self.patch_size[1]]])
+                xv, yv = np.meshgrid(px, py)
+                for anchor in np.stack([xv.ravel(), yv.ravel()], axis=1):
+                    self.anchor_points.append({"chunk_idx": chunk_idx, "anchor": anchor})
+
+        # normalization factors (reference dataset.py:183-196)
+        xr = cfg_dataset["normalize"]["x_range"]
+        yr = cfg_dataset["normalize"]["y_range"]
+        self._min_norm_bound = [xr[0], yr[0]]
+        self._max_norm_bound = [xr[1], yr[1]]
+        self.z_bound = cfg_dataset["normalize"]["z_bound"]
+        self.scale_mat = np.diag(
+            [
+                self.patch_size[0] / (xr[1] - xr[0]),
+                self.patch_size[1] / (yr[1] - yr[0]),
+                self.z_bound[1] - self.z_bound[0],
+                1.0,
+            ]
+        ).astype(np.float64)
+        # shift [-0.5, 0.5] -> [0, 1]
+        self.shift_norm = np.eye(4, dtype=np.float64)
+        self.shift_norm[0, 3] = (xr[1] - xr[0]) / 2.0
+        self.shift_norm[1, 3] = (yr[1] - yr[0]) / 2.0
+
+    def __len__(self) -> int:
+        return self.random_length if self.random_sample else len(self.anchor_points)
+
+    def __getitem__(self, idx: int) -> dict:
+        # anchor (reference dataset.py:211-225)
+        if self.random_sample:
+            chunk_idx = self.dataset_chunk_idx_ls[idx % len(self.dataset_chunk_idx_ls)]
+            info = self.chunk_info[chunk_idx]
+            mn = np.asarray(info["min_bound"], dtype=np.float64)
+            mx = np.asarray(info["max_bound"], dtype=np.float64)
+            rand = np.random.rand(2)
+            anchor = rand * (mx[:2] - mn[:2] - self.patch_size[:2])
+            if self.n_images > 0:  # snap to the image pixel grid
+                anchor = np.floor(anchor / self._image_pixel_size) * self._image_pixel_size
+            anchor = anchor + mn[:2]
+        else:
+            a = self.anchor_points[idx]
+            chunk_idx, anchor = a["chunk_idx"], a["anchor"]
+
+        min_bound = anchor.astype(np.float64)
+        max_bound = min_bound + self.patch_size
+        chunk_data = self.data_dic[chunk_idx]
+        inputs, _ = crop_pc_2d(chunk_data["inputs"], min_bound, max_bound)
+        if len(inputs) == 0:
+            return {
+                "name": f"{chunk_data['name']}-patch{idx}",
+                "min_bound": min_bound.copy(),
+                "max_bound": max_bound.copy(),
+                "is_valid": False,
+            }
+
+        # z-shift strategy (reference dataset.py:244-250)
+        strategy = self._cfg_data["normalize"]["z_shift"]
+        if strategy == "local_min":
+            z_shift = float(inputs[:, 2].min())
+        elif strategy == "global_min":
+            z_shift = float(self.z_bound[0])
+        else:
+            raise ValueError(f"Unknown shift strategy: {strategy}")
+
+        # augmentation draws (reference dataset.py:253-263)
+        rot_times = int(np.random.choice(4)) if self.rotate_augm else 0
+        flip_dim = int(np.random.choice([-1, 0, 1])) if self.flip_augm else -1
+        rot_mat = ROT_MATRICES[rot_times]
+        flip_mat = FLIP_MATRICES[flip_dim]
+
+        # world -> [0, 1]^2 x [0, 1] normalization (reference dataset.py:265-271)
+        transform_mat = self.scale_mat.copy()
+        transform_mat[0:2, 3] = (min_bound + max_bound) / 2.0
+        transform_mat[2, 3] = z_shift
+        normalize_mat = self.shift_norm @ flip_mat @ rot_mat @ invert_transform(transform_mat)
+        transform_mat = invert_transform(normalize_mat)
+
+        inputs_norm = apply_transform(inputs, normalize_mat).astype(np.float32)
+        inputs_norm, _ = crop_pc_2d(inputs_norm, self._min_norm_bound, self._max_norm_bound)
+
+        out = {
+            "name": f"{chunk_data['name']}-patch{idx}",
+            "inputs": inputs_norm,
+            "transform": transform_mat,
+            "min_bound": min_bound.copy(),
+            "max_bound": max_bound.copy(),
+            "flip": flip_dim,
+            "rotate": rot_times,
+            "is_valid": True,
+        }
+
+        # satellite image patch (reference dataset.py:292-310): anchor names the
+        # bottom-left pixel; crop rows north of it, augment, flip to y-up, HWC
+        if self.n_images > 0:
+            center = min_bound + self._image_pixel_size / 2.0
+            col, row = self.images[0].query_col_row(center[0], center[1])
+            h, w = self._image_patch_shape
+            img = self.norm_image_data[:, row - h + 1: row + 1, col: col + w]
+            img = _augment_raster(img, rot_times, flip_dim)
+            assert img.shape == (self.norm_image_data.shape[0], h, w), f"chunk_idx:{chunk_idx}"
+            out["image"] = np.ascontiguousarray(
+                np.moveaxis(img[:, ::-1, :], 0, -1), dtype=np.float32
+            )
+
+        # GT nDSM patch (reference dataset.py:313-328)
+        center = min_bound + self._dsm_pixel_size / 2.0
+        col, row = self.dsm.query_col_row(center[0], center[1])
+        h, w = self._dsm_patch_shape
+        dsm = self.dsm_data[None, row - h + 1: row + 1, col: col + w]
+        dsm = _augment_raster(dsm, rot_times, flip_dim)
+        assert dsm.shape == (1, h, w), f"chunk_idx:{chunk_idx}"
+        out["dsm"] = np.ascontiguousarray(dsm[0, ::-1, :], dtype=np.float32)
+        return out
+
+
+def _augment_raster(chw: np.ndarray, rot_times: int, flip_dim: int) -> np.ndarray:
+    """Rotate clockwise k quarter-turns, then flip — identical to the reference's
+    torch ``rot90(k, [-1, -2])`` / ``flip`` calls on CHW tensors (dataset.py:300-307)."""
+    out = chw
+    if rot_times > 0:
+        out = np.rot90(out, rot_times, axes=(2, 1))  # clockwise in (H, W)
+    if flip_dim == 0:  # points flipped along x -> image flips columns
+        out = out[:, :, ::-1]
+    elif flip_dim == 1:  # points flipped along y -> image flips rows
+        out = out[:, ::-1, :]
+    return out

@@ -1,0 +1,180 @@
+"""Batching + bucketed padding: ragged host patches -> static device arrays.
+
+This is the ragged->static seam of the framework (SURVEY.md §7.2): every patch's
+point count is padded (or subsampled) into a power-of-two bucket so the whole
+forward/backward compiles to a small, cached set of XLA programs. Batches carry
+a validity mask per point and per patch; invalid (empty) patches stay in the
+batch (masked out of the loss) so training steps never recompile.
+"""
+
+from __future__ import annotations
+
+import logging
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+
+def pick_bucket(n: int, bucket_sizes: Sequence[int]) -> int:
+    """Smallest configured bucket that fits n points (caps at the largest)."""
+    for b in bucket_sizes:
+        if n <= b:
+            return int(b)
+    return int(bucket_sizes[-1])
+
+
+def pad_points(
+    pts: np.ndarray, bucket: int, rng: Optional[np.random.Generator] = None
+):
+    """Pad (or subsample) an (n, 3) array to (bucket, 3) + mask.
+
+    Subsampling (n > bucket) is uniform without replacement — a deliberate,
+    documented deviation from the reference (which feeds ragged tensors);
+    bucket sizes should be configured above the patch-density P99 so it is rare.
+    """
+    n = pts.shape[0]
+    out = np.zeros((bucket, pts.shape[1]), dtype=np.float32)
+    mask = np.zeros((bucket,), dtype=bool)
+    if n == 0:
+        return out, mask
+    if n > bucket:
+        rng = rng or np.random.default_rng(0)
+        sel = rng.choice(n, bucket, replace=False)
+        out[:] = pts[sel]
+        mask[:] = True
+        return out, mask
+    out[:n] = pts
+    mask[:n] = True
+    return out, mask
+
+
+class PatchLoader:
+    """Iterates batches of padded patches from a :class:`TomoSARDataset`.
+
+    Yields dicts of numpy arrays:
+      points (B, N, 3) f32 | point_mask (B, N) bool | patch_valid (B,) bool |
+      dsm (B, H, W) f32 | image (B, H, W, C) f32 (if present) |
+      min_bound/max_bound (B, 2) f64 | name list[str]
+
+    For ``fixed_bucket`` (training) every batch has the same N; otherwise
+    (eval/vis) N is the smallest bucket covering the batch's max count.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        bucket_sizes: Sequence[int],
+        fixed_bucket: Optional[int] = None,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        seed: int = 0,
+        prefetch: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = int(batch_size)
+        self.bucket_sizes = sorted(int(b) for b in bucket_sizes)
+        self.fixed_bucket = int(fixed_bucket) if fixed_bucket else None
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _indices(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(self.seed + self._epoch).shuffle(idx)
+        return idx
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        self._epoch += 1
+        it = self._iter_batches()
+        if self.prefetch <= 0:
+            yield from it
+            return
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        DONE = object()
+
+        def worker():
+            try:
+                for b in it:
+                    q.put(b)
+            finally:
+                q.put(DONE)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            b = q.get()
+            if b is DONE:
+                break
+            yield b
+
+    def _iter_batches(self):
+        rng = np.random.default_rng(self.seed + 1000 + self._epoch)
+        idx = self._indices()
+        for start in range(0, len(idx), self.batch_size):
+            sel = idx[start: start + self.batch_size]
+            if self.drop_last and len(sel) < self.batch_size:
+                break
+            patches = [self.dataset[int(i)] for i in sel]
+            yield self.collate(patches, rng)
+
+    def collate(self, patches: List[dict], rng: Optional[np.random.Generator] = None):
+        bsz = len(patches)
+        counts = [len(p["inputs"]) if p["is_valid"] else 0 for p in patches]
+        if self.fixed_bucket:
+            bucket = self.fixed_bucket
+        else:
+            bucket = pick_bucket(max(max(counts), 1), self.bucket_sizes)
+
+        points = np.zeros((bsz, bucket, 3), dtype=np.float32)
+        point_mask = np.zeros((bsz, bucket), dtype=bool)
+        patch_valid = np.zeros((bsz,), dtype=bool)
+        dsm = None
+        image = None
+        min_bound = np.zeros((bsz, 2), dtype=np.float64)
+        max_bound = np.zeros((bsz, 2), dtype=np.float64)
+        names = []
+
+        for i, p in enumerate(patches):
+            names.append(p["name"])
+            min_bound[i] = p["min_bound"][:2]
+            max_bound[i] = p["max_bound"][:2]
+            if not p["is_valid"]:
+                continue
+            patch_valid[i] = True
+            points[i], point_mask[i] = pad_points(p["inputs"], bucket, rng)
+            if "dsm" in p:
+                if dsm is None:
+                    dsm = np.zeros((bsz,) + p["dsm"].shape, dtype=np.float32)
+                dsm[i] = p["dsm"]
+            if "image" in p:
+                if image is None:
+                    image = np.zeros((bsz,) + p["image"].shape, dtype=np.float32)
+                image[i] = p["image"]
+
+        out = {
+            "points": points,
+            "point_mask": point_mask,
+            "patch_valid": patch_valid,
+            "min_bound": min_bound,
+            "max_bound": max_bound,
+            "name": names,
+        }
+        if dsm is not None:
+            out["dsm"] = dsm
+        if image is not None:
+            out["image"] = image
+        return out
