@@ -72,6 +72,7 @@ class PatchLoader:
         fixed_bucket: Optional[int] = None,
         shuffle: bool = False,
         drop_last: bool = False,
+        pad_last: bool = True,
         seed: int = 0,
         prefetch: int = 0,
     ):
@@ -81,6 +82,9 @@ class PatchLoader:
         self.fixed_bucket = int(fixed_bucket) if fixed_bucket else None
         self.shuffle = shuffle
         self.drop_last = drop_last
+        # pad the final partial batch with invalid (masked) patches so every
+        # batch has the same leading dim -> one XLA program per bucket
+        self.pad_last = pad_last
         self.seed = seed
         self.prefetch = prefetch
         self._epoch = 0
@@ -132,6 +136,15 @@ class PatchLoader:
             yield self.collate(patches, rng)
 
     def collate(self, patches: List[dict], rng: Optional[np.random.Generator] = None):
+        n_real = len(patches)
+        if self.pad_last and n_real < self.batch_size:
+            filler = {
+                "name": "__pad__",
+                "min_bound": np.zeros(2, dtype=np.float64),
+                "max_bound": np.zeros(2, dtype=np.float64),
+                "is_valid": False,
+            }
+            patches = patches + [filler] * (self.batch_size - n_real)
         bsz = len(patches)
         counts = [len(p["inputs"]) if p["is_valid"] else 0 for p in patches]
         if self.fixed_bucket:

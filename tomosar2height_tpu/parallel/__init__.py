@@ -1,0 +1,6 @@
+from tomosar2height_tpu.parallel.mesh import (  # noqa: F401
+    make_mesh,
+    shard_batch,
+    replicate,
+    batch_sharding,
+)

@@ -1,0 +1,198 @@
+"""Training engine: jitted, data-parallel train/eval steps.
+
+Capability parity with reference trainer.py:8-146 (L1 + weighted-BCE footprint
+loss, gradient accumulation, loss averaging over the accumulation window,
+validation loop) — re-designed TPU-first:
+
+- the reference's bs=1 x ``optimize_every``=64 accumulation becomes a real
+  device batch (sharded over the mesh 'data' axis) x a smaller accumulation
+  factor via ``optax.MultiSteps`` — same 64 patches per optimizer step;
+- one jitted step covers forward, backward, psum-over-ICI gradient reduction
+  (inserted by GSPMD from the shardings) and the optimizer update;
+- AdamW normalization is applied with a *dynamic* learning rate passed in as a
+  scalar each call (host-side torch-parity schedulers, train/schedule.py) —
+  no recompiles, plateau schedules possible;
+- invalid (empty) patches stay in the batch and are masked out of the loss
+  (reference skips them host-side, train.py:150-151), keeping shapes static.
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Any, Dict, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from tomosar2height_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+log = logging.getLogger(__name__)
+
+FOOTPRINT_THRESHOLD = 1e-4  # reference trainer.py:65 (dsm > 0.0001 is "building")
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    mini_step: jnp.ndarray  # accumulation counter (device scalar)
+
+
+def make_optimizer(optimize_every: int, weight_decay: float = 0.01):
+    """AdamW split into (adam-normalize + decoupled decay + sign flip); the
+    learning rate multiplies the update at apply time so it can be a dynamic
+    scalar. torch AdamW defaults (reference train.py:97): betas (0.9, 0.999),
+    eps 1e-8, weight_decay 0.01."""
+    inner = optax.chain(
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.add_decayed_weights(weight_decay),
+        optax.scale(-1.0),
+    )
+    if optimize_every > 1:
+        return optax.MultiSteps(inner, every_k_schedule=optimize_every)
+    return inner
+
+
+def masked_patch_mean(per_pixel: jnp.ndarray, patch_valid: jnp.ndarray) -> jnp.ndarray:
+    """Mean over pixels per patch, then mean over valid patches."""
+    per_patch = per_pixel.reshape(per_pixel.shape[0], -1).mean(axis=1)
+    w = patch_valid.astype(per_patch.dtype)
+    return (per_patch * w).sum() / jnp.maximum(w.sum(), 1.0)
+
+
+class Trainer:
+    """Builds the jitted steps for a given model + config (+ mesh)."""
+
+    def __init__(
+        self,
+        model,
+        cfg_training,
+        use_cloud: bool = True,
+        use_image: bool = False,
+        use_footprint: bool = False,
+        weight_ce: float = 10.0,
+        mesh=None,
+        donate: bool = True,
+    ):
+        self.model = model
+        self.use_cloud = use_cloud
+        self.use_image = use_image
+        self.use_footprint = use_footprint
+        self.weight_ce = float(weight_ce)
+        self.optimize_every = int(cfg_training["optimize_every"])
+        self.tx = make_optimizer(self.optimize_every)
+        self.mesh = mesh if mesh is not None else make_mesh()
+
+        donate_args = (0,) if donate else ()
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=donate_args)
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+        # host-side loss averaging over the accumulation window
+        # (reference trainer.py:78-89)
+        self.accumulated_steps = 0
+        self._acc = {"loss": 0.0, "loss_l1": 0.0, "loss_ce": 0.0}
+        self.last_avg_loss = 0.0
+        self.last_avg_loss_dict = {"loss_ce": 0.0, "loss_l1": 0.0}
+
+    # -- state ------------------------------------------------------------------
+
+    def init_state(self, rng_key, sample_batch) -> TrainState:
+        points, mask, image = self._inputs(sample_batch)
+        # jit the init: eager init is one device round trip per op (minutes on a
+        # remote-tunneled chip); jitted it is a single program
+        params = jax.jit(self.model.init)(rng_key, points, mask, image)
+        state = TrainState(
+            params=params,
+            opt_state=self.tx.init(params),
+            mini_step=jnp.zeros((), jnp.int32),
+        )
+        return replicate(state, self.mesh)
+
+    def _inputs(self, batch):
+        points = batch["points"] if self.use_cloud else None
+        mask = batch["point_mask"] if self.use_cloud else None
+        image = batch.get("image") if self.use_image else None
+        return points, mask, image
+
+    # -- loss -------------------------------------------------------------------
+
+    def _loss(self, params, batch):
+        points, mask, image = self._inputs(batch)
+        pa, pb = self.model.apply(params, points, mask, image)
+        dsm = batch["dsm"]
+        valid = batch["patch_valid"]
+        pa = pa[..., 0]
+        loss_l1 = masked_patch_mean(jnp.abs(pa - dsm), valid)
+        if self.use_footprint:
+            target = (dsm > FOOTPRINT_THRESHOLD).astype(pb.dtype)
+            ce = optax.sigmoid_binary_cross_entropy(pb[..., 0], target)
+            loss_ce = self.weight_ce * masked_patch_mean(ce, valid)
+        else:
+            loss_ce = jnp.zeros((), pa.dtype)
+        loss = loss_l1 + loss_ce
+        return loss, {"loss": loss, "loss_l1": loss_l1, "loss_ce": loss_ce}
+
+    # -- steps ------------------------------------------------------------------
+
+    def _train_step_impl(self, state: TrainState, batch, lr):
+        (_, metrics), grads = jax.value_and_grad(self._loss, has_aux=True)(
+            state.params, batch
+        )
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: u * lr, updates)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(new_params, new_opt, state.mini_step + 1),
+            metrics,
+        )
+
+    def _eval_step_impl(self, params, batch):
+        _, metrics = self._loss(params, batch)
+        return metrics
+
+    # -- public API (reference trainer.py:47-146) ---------------------------------
+
+    DEVICE_KEYS = ("points", "point_mask", "image", "dsm", "patch_valid")
+
+    def _device_batch(self, batch):
+        """Keep only array fields the step consumes (names/geo-bounds stay on host)."""
+        return shard_batch({k: batch[k] for k in self.DEVICE_KEYS if k in batch}, self.mesh)
+
+    def train_step(self, state: TrainState, batch: Dict[str, np.ndarray], lr: float):
+        """One mini-step (one device batch). Returns the new state; metric
+        averages publish to ``last_avg_loss*`` once per optimizer step."""
+        batch = self._device_batch(batch)
+        state, metrics = self._train_step(state, batch, lr)
+        self.accumulated_steps += 1
+        for k in self._acc:
+            self._acc[k] += float(metrics[k])
+        if self.accumulated_steps == self.optimize_every:
+            self.last_avg_loss = self._acc["loss"] / self.optimize_every
+            self.last_avg_loss_dict = {
+                "loss_l1": self._acc["loss_l1"] / self.optimize_every,
+                "loss_ce": self._acc["loss_ce"] / self.optimize_every,
+            }
+            self._acc = {k: 0.0 for k in self._acc}
+            self.accumulated_steps = 0
+        return state
+
+    def eval_step(self, state: TrainState, batch) -> Dict[str, float]:
+        batch = self._device_batch(batch)
+        metrics = self._eval_step(state.params, batch)
+        return {k: float(v) for k, v in metrics.items()}
+
+    def evaluate(self, state: TrainState, val_loader) -> Dict[str, float]:
+        sums: Dict[str, float] = {}
+        n = 0
+        for batch in val_loader:
+            if not batch["patch_valid"].any():
+                continue
+            m = self.eval_step(state, batch)
+            for k, v in m.items():
+                sums[k] = sums.get(k, 0.0) + v
+            n += 1
+        return {k: v / max(n, 1) for k, v in sums.items()}

@@ -21,6 +21,7 @@ def setup_logging(log_file: Optional[str] = None, console_level: int = logging.I
                   fmt: str = "%(asctime)s - %(levelname)s - %(filename)s - %(funcName)s >> %(message)s"):
     root = logging.getLogger()
     root.setLevel(min(console_level, file_level))
+    logging.getLogger("jax").setLevel(logging.WARNING)  # jax DEBUG is torrential
     root.handlers = [h for h in root.handlers if not isinstance(h, (logging.StreamHandler, logging.FileHandler))]
     ch = logging.StreamHandler()
     ch.setLevel(console_level)

@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""Training entry point. Same CLI surface as the reference (train.py:16-196):
+
+    python train.py dataset=berlin use_cloud=true use_image=false run_suffix=-v1
+
+Orchestration parity: output dirs outputs/<run_name><suffix>/{check_points,tiff},
+seed locking, train/val/vis loaders, AdamW + scheduler, periodic
+print/checkpoint/validate/visualize, best-checkpoint selection on val loss_l1,
+resume-from-checkpoint with scalar metadata {n_iter, loss_val_best, training_time}.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+import time
+
+import jax
+import numpy as np
+
+from tomosar2height_tpu.config import compose
+from tomosar2height_tpu.config.compose import default_conf_dir
+from tomosar2height_tpu.data import PatchLoader, TomoSARDataset
+from tomosar2height_tpu.infer import DSMEvaluator, DSMGenerator
+from tomosar2height_tpu.models import build_model
+from tomosar2height_tpu.parallel import make_mesh
+from tomosar2height_tpu.train import CheckpointIO, Trainer, build_scheduler
+from tomosar2height_tpu.train.schedule import ITERATION_SCHEDULERS
+from tomosar2height_tpu.train.trainer import TrainState
+from tomosar2height_tpu.utils import MetricLogger, lock_seed, setup_logging
+
+log = logging.getLogger("train")
+
+
+def main(overrides=None):
+    cfg = compose(default_conf_dir(), overrides=overrides if overrides is not None else sys.argv[1:])
+
+    cfg_training = cfg["training"]
+    cfg_dataset = cfg["dataset"]
+
+    out_dir_run = os.path.join(cfg_training["out_dir"],
+                               f"{cfg_training['run_name']}{cfg['run_suffix']}")
+    out_dir_ckpt = os.path.join(out_dir_run, "check_points")
+    out_dir_tiff = os.path.join(out_dir_run, "tiff")
+    for d in (out_dir_run, out_dir_ckpt, out_dir_tiff):
+        os.makedirs(d, exist_ok=True)
+    setup_logging(os.path.join(out_dir_run, cfg["logging"]["filename"]),
+                  cfg["logging"]["console_level"], cfg["logging"]["file_level"])
+
+    if cfg_training["lock_seed"]:
+        lock_seed(0)
+
+    wandb = MetricLogger().init(
+        project="tomosar2height", config=cfg.to_dict(),
+        name=os.path.basename(out_dir_run), dir=os.path.join(out_dir_run, "wandb"),
+        mode="online" if cfg["wandb"] else "disabled",
+    )
+
+    t_start = time.time()
+    mesh = make_mesh(cfg.select("device.mesh.data", -1))
+    log.info("Devices: %s (mesh %s)", jax.devices(), mesh.shape)
+
+    # datasets / loaders
+    datasets = {
+        key: TomoSARDataset(
+            key, cfg_dataset, random_sample=(key == "train"),
+            random_length=(cfg_training["random_dataset_length"] if key == "train" else None),
+            flip_augm=cfg_training["augmentation"]["flip"] if key == "train" else False,
+            rotate_augm=cfg_training["augmentation"]["rotate"] if key == "train" else False,
+        )
+        for key in ("train", "val", "vis")
+    }
+    buckets = cfg_dataset["points"]["bucket_sizes"]
+    prefetch = cfg.select("dataloader.prefetch", 2)
+    loaders = {
+        "train": PatchLoader(datasets["train"], cfg_training["batch_size"], buckets,
+                             fixed_bucket=cfg_dataset["points"]["train_bucket"],
+                             shuffle=True, drop_last=True, prefetch=prefetch),
+        "val": PatchLoader(datasets["val"], cfg_training["val_batch_size"], buckets,
+                           fixed_bucket=cfg_dataset["points"]["train_bucket"]),
+        "vis": PatchLoader(datasets["vis"], cfg_training["val_batch_size"], buckets,
+                           fixed_bucket=cfg_dataset["points"]["train_bucket"]),
+    }
+    log.info("Training data: n_data=%d, batch_size=%d", len(datasets["train"]),
+             cfg_training["batch_size"])
+    log.info("Validation data: n_data=%d", len(datasets["val"]))
+
+    # model / trainer / scheduler
+    model = build_model(cfg)
+    trainer = Trainer(
+        model, cfg_training,
+        use_cloud=cfg["use_cloud"], use_image=cfg["use_image"],
+        use_footprint=cfg["use_footprint"], weight_ce=cfg_training["weight_ce"],
+        mesh=mesh, donate=cfg.select("device.donate", True),
+    )
+    scheduler = build_scheduler(cfg_training)
+
+    sample_batch = next(iter(loaders["val"]))
+    state = trainer.init_state(jax.random.PRNGKey(0), sample_batch)
+    n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(state.params))
+    log.info("Total model parameters: %d", n_params)
+
+    generator_dsm = DSMGenerator(
+        model, lambda: state.params, loaders["vis"],
+        dsm_pixel_size=cfg["dsm_generation"]["pixel_size"],
+        half_blend_percent=cfg["dsm_generation"].get("half_blend_percent"),
+        crs_epsg=cfg["dsm_generation"].get("crs_epsg"),
+        use_cloud=cfg["use_cloud"], use_image=cfg["use_image"],
+    )
+    evaluator = DSMEvaluator(
+        cfg_dataset["dsm_gt_path"], None, {"building": cfg_dataset["mask_files"]["building"]}
+    )
+
+    checkpoint_io = CheckpointIO(out_dir_run, model=state.params,
+                                 optimizer=state.opt_state, scheduler=scheduler)
+    try:
+        load_dict = checkpoint_io.load(
+            cfg_training.get("resume_from") or "",
+            resume_scheduler=cfg_training.get("resume_scheduler", True),
+        )
+        state = TrainState(checkpoint_io.module_dict["model"],
+                           checkpoint_io.module_dict["optimizer"], state.mini_step)
+        log.info("Resuming from previous checkpoint.")
+    except FileNotFoundError:
+        load_dict = {}
+        log.info("Training from scratch.")
+    n_iter = int(load_dict.get("n_iter", 0))
+    metric_val_best = float(load_dict.get("loss_val_best", np.inf))
+
+    def save_ckpt(path):
+        checkpoint_io.module_dict["model"] = state.params
+        checkpoint_io.module_dict["optimizer"] = state.opt_state
+        checkpoint_io.save(path, n_iter=n_iter, loss_val_best=metric_val_best,
+                           training_time=time.time() - t_start + float(load_dict.get("training_time", 0.0)))
+
+    def visualize():
+        out_path = os.path.join(out_dir_tiff, f"{cfg_training['run_name']}_dsm_{n_iter:06d}.tiff")
+        writer = generator_dsm.generate_dsm(out_path)
+        eval_dict, _ = evaluator.eval(writer.get_data(), writer.T)
+        wandb.log({f"nDSM/{k}/{k2}": v2 for k, v in eval_dict.items()
+                   for k2, v2 in v.items()}, step=n_iter)
+
+    # training loop (reference train.py:148-190)
+    while n_iter < cfg_training["max_iteration"]:
+        for batch in loaders["train"]:
+            if not batch["patch_valid"].any():
+                continue
+            state = trainer.train_step(state, batch, scheduler.lr)
+            if trainer.accumulated_steps != 0:
+                continue
+            n_iter += 1
+            training_time = time.time() - t_start + float(load_dict.get("training_time", 0.0))
+            wandb.log({
+                "iteration": n_iter,
+                "train/loss": trainer.last_avg_loss,
+                "lr": scheduler.lr,
+                "misc/training_time": training_time,
+                **{f"train/{k}": v for k, v in trainer.last_avg_loss_dict.items()},
+            }, step=n_iter)
+
+            if n_iter % cfg_training["print_every"] == 0:
+                log.info("Iteration %d, Loss = %.5f", n_iter, trainer.last_avg_loss)
+            if n_iter % cfg_training["checkpoint_every"] == 0:
+                save_ckpt(os.path.join(out_dir_ckpt, f"model_{n_iter}.ckpt"))
+            if n_iter % cfg_training["validate_every"] == 0:
+                eval_dict = trainer.evaluate(state, loaders["val"])
+                metric_val = eval_dict[cfg_training["model_selection_metric"]]
+                wandb.log({f"val/{k}": v for k, v in eval_dict.items()}, step=n_iter)
+                if metric_val < metric_val_best:
+                    metric_val_best = metric_val
+                    save_ckpt(os.path.join(out_dir_ckpt, "model_best.ckpt"))
+            if n_iter % cfg_training["visualize_every"] == 0:
+                visualize()
+            if cfg_training["scheduler"]["type"] in ITERATION_SCHEDULERS:
+                scheduler.step()
+            if n_iter >= cfg_training["max_iteration"]:
+                break
+
+    log.info("Optimization done!")
+    wandb.finish()
+    return state, n_iter, metric_val_best
+
+
+if __name__ == "__main__":
+    main()
