@@ -48,23 +48,25 @@ def main(batch: int = 4, n_points: int = 16384, iters: int = 20, train: bool = F
         state = trainer.train_step(state, batch_d, 1e-4)  # compile
         t0 = time.perf_counter()
         for _ in range(iters):
+            # train_step fetches loss scalars to host -> real completion barrier
             state = trainer.train_step(state, batch_d, 1e-4)
-        jax.block_until_ready(state.params)
         dt = time.perf_counter() - t0
         tiles_per_sec = batch * iters / dt
         metric = "train_patches_per_sec_per_chip"
     else:
+        # scalar-reduced output with an explicit host fetch per call:
+        # block_until_ready is unreliable through the axon relay (returns
+        # immediately), so only a device->host transfer proves completion
         @jax.jit
         def fwd(params, points, mask):
             pa, _ = model.apply(params, points, mask, None)
-            return pa
+            return pa.sum()
 
-        out = fwd(params, points, mask)
-        jax.block_until_ready(out)  # compile + warmup
+        float(fwd(params, points, mask))  # compile + warmup
+        float(fwd(params, points, mask))
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = fwd(params, points, mask)
-        jax.block_until_ready(out)
+            float(fwd(params, points, mask))
         dt = time.perf_counter() - t0
         tiles_per_sec = batch * iters / dt
         metric = "ndsm_tiles_per_sec_per_chip"
