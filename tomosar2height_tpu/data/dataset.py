@@ -156,6 +156,20 @@ class TomoSARDataset:
     def __len__(self) -> int:
         return self.random_length if self.random_sample else len(self.anchor_points)
 
+    def _normalize_points(self, inputs, min_bound, max_bound, normalize_mat):
+        """World points -> float32 points strictly inside the unit square
+        (reference dataset.py:274-278). The C++ runtime fuses transform + recrop
+        into one pass for large patches; numpy is the fallback/oracle."""
+        if inputs.shape[0] >= 20_000 and inputs.flags.c_contiguous:
+            from tomosar2height_tpu import native
+
+            out = native.crop_transform_patch(inputs, min_bound, max_bound, normalize_mat)
+            if out is not None:
+                return out
+        inputs_norm = apply_transform(inputs, normalize_mat).astype(np.float32)
+        inputs_norm, _ = crop_pc_2d(inputs_norm, self._min_norm_bound, self._max_norm_bound)
+        return inputs_norm
+
     def __getitem__(self, idx: int) -> dict:
         # anchor (reference dataset.py:211-225)
         if self.random_sample:
@@ -206,8 +220,7 @@ class TomoSARDataset:
         normalize_mat = self.shift_norm @ flip_mat @ rot_mat @ invert_transform(transform_mat)
         transform_mat = invert_transform(normalize_mat)
 
-        inputs_norm = apply_transform(inputs, normalize_mat).astype(np.float32)
-        inputs_norm, _ = crop_pc_2d(inputs_norm, self._min_norm_bound, self._max_norm_bound)
+        inputs_norm = self._normalize_points(inputs, min_bound, max_bound, normalize_mat)
 
         out = {
             "name": f"{chunk_data['name']}-patch{idx}",

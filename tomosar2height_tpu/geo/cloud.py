@@ -22,7 +22,17 @@ def load_las_as_numpy(las_path: str) -> np.ndarray:
 
     Reads the public header block (LAS 1.0-1.4), applies scale/offset to the raw
     int32 x/y/z of each point record. Compressed .laz is not supported.
+    Prefers the C++ reader (native ``ts_las_read``); this numpy path is the
+    fallback and the parity oracle.
     """
+    try:
+        from tomosar2height_tpu import native
+
+        out = native.las_read(las_path)
+        if out is not None:
+            return out
+    except ValueError:
+        pass  # fall through to the numpy parser for a precise error message
     with open(las_path, "rb") as f:
         header = f.read(375)
         if header[:4] != b"LASF":

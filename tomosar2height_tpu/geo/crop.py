@@ -12,12 +12,23 @@ from typing import Tuple
 import numpy as np
 
 
+_NATIVE_MIN_POINTS = 50_000  # below this numpy wins on call overhead
+
+
 def crop_pc_2d_index(points: np.ndarray, p_min, p_max) -> np.ndarray:
     """Indices of points strictly inside the (x, y) bbox.
 
     Parity: reference utils/crop_cloud.py:8-29 (strict ``>`` / ``<``).
+    Large float64 arrays route through the C++ runtime (native/tomosar_native.cpp
+    ``ts_crop_pc_2d``); numpy otherwise.
     """
     p = np.asarray(points)
+    if p.dtype == np.float64 and p.shape[0] >= _NATIVE_MIN_POINTS and p.flags.c_contiguous:
+        from tomosar2height_tpu import native
+
+        idx = native.crop_pc_2d_index(p, p_min, p_max)
+        if idx is not None:
+            return idx
     mask = (
         (p[:, 0] > p_min[0]) & (p[:, 0] < p_max[0])
         & (p[:, 1] > p_min[1]) & (p[:, 1] < p_max[1])

@@ -143,8 +143,12 @@ class DSMGenerator:
                 max_c = max_bound - self.pixel_size / 2.0
                 l_col, b_row = tiff_data.query_col_row(min_c[0], min_c[1])
                 r_col, t_row = tiff_data.query_col_row(max_c[0], max_c[1])
-                dsm_acc[t_row:b_row + 1, l_col:r_col + 1] += h_grids[i] * pw
-                weight_acc[t_row:b_row + 1, l_col:r_col + 1] += pw
+                from tomosar2height_tpu import native
+
+                if not native.blend_accumulate(dsm_acc, weight_acc, h_grids[i], pw,
+                                               t_row, l_col):
+                    dsm_acc[t_row:b_row + 1, l_col:r_col + 1] += h_grids[i] * pw
+                    weight_acc[t_row:b_row + 1, l_col:r_col + 1] += pw
 
         with np.errstate(invalid="ignore", divide="ignore"):
             out = dsm_acc / weight_acc

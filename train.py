@@ -59,6 +59,17 @@ def main(overrides=None):
 
     t_start = time.time()
     mesh = make_mesh(cfg.select("device.mesh.data", -1))
+    # batch axes shard over the mesh -> every batch size must divide evenly;
+    # shrink the mesh to the largest compatible divisor if not
+    import math
+
+    g = math.gcd(math.gcd(int(cfg_training["batch_size"]),
+                          int(cfg_training["val_batch_size"])),
+                 mesh.size)
+    if g != mesh.size:
+        log.warning("batch sizes (%d/%d) not divisible by %d devices; using %d-device mesh",
+                    cfg_training["batch_size"], cfg_training["val_batch_size"], mesh.size, g)
+        mesh = make_mesh(g)
     log.info("Devices: %s (mesh %s)", jax.devices(), mesh.shape)
 
     # datasets / loaders
@@ -167,6 +178,11 @@ def main(overrides=None):
                 eval_dict = trainer.evaluate(state, loaders["val"])
                 metric_val = eval_dict[cfg_training["model_selection_metric"]]
                 wandb.log({f"val/{k}": v for k, v in eval_dict.items()}, step=n_iter)
+                if cfg_training["scheduler"]["type"] == "ReduceLROnPlateau":
+                    # metric-driven scheduler steps on validation (the reference
+                    # registers this scheduler type but never steps it,
+                    # train.py:188-190 — wired up here)
+                    scheduler.step(metric_val)
                 if metric_val < metric_val_best:
                     metric_val_best = metric_val
                     save_ckpt(os.path.join(out_dir_ckpt, "model_best.ckpt"))
