@@ -44,9 +44,14 @@ def main(overrides=None):
         lock_seed(0)
 
     test_dataset = TomoSARDataset("test", cfg_dataset, random_sample=False)
+    sort_reso = (cfg.select("model.encoder_kwargs.plane_resolution")
+                 if cfg.select("dataset.points.sort", False)
+                 and cfg["use_cloud"] and cfg["model"]["encoder"] == "pointnet_local_pool"
+                 else None)
     loader = PatchLoader(test_dataset, cfg_training["val_batch_size"],
                          cfg_dataset["points"]["bucket_sizes"],
-                         fixed_bucket=cfg_dataset["points"]["train_bucket"])
+                         fixed_bucket=cfg_dataset["points"]["train_bucket"],
+                         sort_reso=sort_reso)
     log.info("Dataset path: '%s'", cfg_dataset["path"])
 
     model = build_model(cfg)

@@ -75,6 +75,7 @@ class PatchLoader:
         pad_last: bool = True,
         seed: int = 0,
         prefetch: int = 0,
+        sort_reso: Optional[int] = None,
     ):
         self.dataset = dataset
         self.batch_size = int(batch_size)
@@ -87,6 +88,10 @@ class PatchLoader:
         self.pad_last = pad_last
         self.seed = seed
         self.prefetch = prefetch
+        # when set, each patch's points are Morton-cell-sorted at this plane
+        # resolution and batches carry 'cell'/'cell_offsets' for the device's
+        # scatter-free segmented reductions (ops/sorted_scatter.py)
+        self.sort_reso = int(sort_reso) if sort_reso else None
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -155,6 +160,10 @@ class PatchLoader:
         points = np.zeros((bsz, bucket, 3), dtype=np.float32)
         point_mask = np.zeros((bsz, bucket), dtype=bool)
         patch_valid = np.zeros((bsz,), dtype=bool)
+        if self.sort_reso:
+            ncell = self.sort_reso * self.sort_reso
+            cells = np.full((bsz, bucket), ncell, dtype=np.int32)
+            offsets = np.zeros((bsz, ncell + 1), dtype=np.int32)
         dsm = None
         image = None
         min_bound = np.zeros((bsz, 2), dtype=np.float64)
@@ -169,6 +178,14 @@ class PatchLoader:
                 continue
             patch_valid[i] = True
             points[i], point_mask[i] = pad_points(p["inputs"], bucket, rng)
+            if self.sort_reso:
+                from tomosar2height_tpu.ops.sorted_scatter import host_morton_bucket
+
+                order, cell, off = host_morton_bucket(points[i], point_mask[i], self.sort_reso)
+                points[i] = points[i][order]
+                point_mask[i] = point_mask[i][order]
+                cells[i] = cell
+                offsets[i] = off
             if "dsm" in p:
                 if dsm is None:
                     dsm = np.zeros((bsz,) + p["dsm"].shape, dtype=np.float32)
@@ -186,6 +203,9 @@ class PatchLoader:
             "max_bound": max_bound,
             "name": names,
         }
+        if self.sort_reso:
+            out["cell"] = cells
+            out["cell_offsets"] = offsets
         if dsm is not None:
             out["dsm"] = dsm
         if image is not None:

@@ -106,8 +106,8 @@ class DSMGenerator:
             self.r_bound = max(self.r_bound, r)
             self.t_bound = max(self.t_bound, t)
 
-    def _forward_impl(self, params, points, mask, image):
-        pa, _ = self.model.apply(params, points, mask, image)
+    def _forward_impl(self, params, points, mask, image, cells, offsets):
+        pa, _ = self.model.apply(params, points, mask, image, cells, offsets)
         # un-flip rows: model works y-up, raster is north-up (generator.py:147)
         return pa[..., 0][:, ::-1, :]
 
@@ -131,7 +131,11 @@ class DSMGenerator:
             points = batch["points"] if self.use_cloud else None
             mask = batch["point_mask"] if self.use_cloud else None
             image = batch.get("image") if self.use_image else None
-            h_grids = np.asarray(self._forward(params, points, mask, image), dtype=np.float64)
+            cells = batch.get("cell") if self.use_cloud else None
+            offsets = batch.get("cell_offsets") if self.use_cloud else None
+            h_grids = np.asarray(
+                self._forward(params, points, mask, image, cells, offsets), dtype=np.float64
+            )
 
             for i in range(h_grids.shape[0]):
                 if not batch["patch_valid"][i]:

@@ -29,11 +29,28 @@ import jax.numpy as jnp
 from tomosar2height_tpu.models.blocks import MLP2, conv1x1, conv3x3, kernel_init, max_pool_2x2, upconv2x2
 from tomosar2height_tpu.ops.sampling import grid_sample_2d
 from tomosar2height_tpu.ops.scatter import cell_index, segment_mean
+from tomosar2height_tpu.ops.sorted_scatter import (
+    coarsen_offsets,
+    morton_to_plane,
+    sorted_segment_mean,
+)
 
 
 def _scatter_plane(xy, c, reso, mask, cell_cache):
     """scatter_mean point features into a (reso, reso) NHWC plane
-    (reference alto.py:76-88)."""
+    (reference alto.py:76-88).
+
+    Fast path: when the batch carries Morton-sorted cell offsets
+    (``cell_cache['offsets']`` at ``cell_cache['finest']`` resolution), the
+    reduction is a cumsum+gather (ops/sorted_scatter.py) — no XLA scatter.
+    """
+    offsets = cell_cache.get("offsets")
+    if offsets is not None:
+        finest = cell_cache["finest"]
+        level = int(finest).bit_length() - int(reso).bit_length()
+        off = coarsen_offsets(offsets, level) if level else offsets
+        vec = sorted_segment_mean(c, off)
+        return morton_to_plane(vec, reso)
     idx = cell_cache.get(reso)
     if idx is None:
         idx = cell_index(xy, reso)
@@ -152,19 +169,26 @@ class AltoUNet(nn.Module):
         plane: jnp.ndarray,
         c: jnp.ndarray,
         mask: Optional[jnp.ndarray] = None,
+        offsets: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """
         Args:
-            points: (B, N, >=2) normalized point coordinates (xy used).
+            points: (B, N, >=2) normalized point coordinates (xy used). When
+                ``offsets`` is given, points/c/mask must be Morton-cell-sorted.
             plane: (B, R, R, C_in) initial feature plane.
             c: (B, N, C_in) initial per-point features.
             mask: (B, N) validity of padded points.
+            offsets: (B, R*R + 1) Morton segment offsets at the plane's
+                resolution (fast scatter path).
 
         Returns:
             (B, R, R, num_classes) output plane.
         """
         xy = points[..., :2]
-        cell_cache: Dict[int, jnp.ndarray] = {}
+        cell_cache: Dict = {}
+        if offsets is not None:
+            cell_cache["offsets"] = offsets
+            cell_cache["finest"] = plane.shape[1]
 
         encoder_outs = []
         x, x_after_conv = plane, None

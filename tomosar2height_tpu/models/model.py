@@ -51,6 +51,8 @@ class TomoSAR2Height(nn.Module):
         input_cloud: Optional[jnp.ndarray] = None,
         cloud_mask: Optional[jnp.ndarray] = None,
         input_image: Optional[jnp.ndarray] = None,
+        cloud_cells: Optional[jnp.ndarray] = None,
+        cloud_offsets: Optional[jnp.ndarray] = None,
     ):
         """Forward pass.
 
@@ -58,6 +60,9 @@ class TomoSAR2Height(nn.Module):
             input_cloud: (B, N, 3) padded normalized points (or None).
             cloud_mask: (B, N) point validity (or None = all valid).
             input_image: (B, H, W, 3) normalized image (or None).
+            cloud_cells / cloud_offsets: optional Morton-sorted bucket metadata
+                (points must then be cell-sorted) enabling the scatter-free
+                point->grid path; produced by the PatchLoader.
 
         Returns:
             (pa, pb): (B, S, S, out_dim) height raster in meters (z-rescaled,
@@ -72,7 +77,10 @@ class TomoSAR2Height(nn.Module):
             enc_cls = encoder_dict()[self.encoder]
             kwargs = dict(self.encoder_kwargs or {})
             enc = enc_cls(dtype=self.dtype, name="point_encoder", **kwargs)
-            feature_planes.update(enc(input_cloud, cloud_mask))
+            if self.encoder == "pointnet_local_pool":
+                feature_planes.update(enc(input_cloud, cloud_mask, cloud_cells, cloud_offsets))
+            else:
+                feature_planes.update(enc(input_cloud, cloud_mask))
 
         if self.use_image:
             kwargs = dict(self.encoder2_kwargs or {})

@@ -21,6 +21,13 @@ from tomosar2height_tpu.ops.scatter import (
     pool_local_mean,
     segment_mean,
 )
+from tomosar2height_tpu.ops.sorted_scatter import (
+    gather_cells_sorted,
+    morton_to_plane,
+    run_starts,
+    sorted_segment_max,
+    sorted_segment_mean,
+)
 
 
 class LocalPoolPointnet(nn.Module):
@@ -42,31 +49,54 @@ class LocalPoolPointnet(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, points: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> dict:
+    def __call__(
+        self,
+        points: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        cells: Optional[jnp.ndarray] = None,
+        offsets: Optional[jnp.ndarray] = None,
+    ) -> dict:
         """
         Args:
             points: (B, N, 3) normalized to [0, 1] (padded to bucket size N).
             mask: (B, N) bool validity of each point.
+            cells: (B, N) Morton cell ids at ``plane_resolution`` — when given
+                (with ``offsets``), points must be cell-sorted and all
+                point->grid reductions take the scatter-free sorted path
+                (ops/sorted_scatter.py).
+            offsets: (B, R*R + 1) Morton segment offsets.
 
         Returns:
             {'xy': (B, R, R, feature_dim)} refined feature plane.
         """
         reso = self.plane_resolution
         xy = points[..., :2]
-        index = cell_index(xy, reso)
+        use_sorted = cells is not None and offsets is not None
 
-        if self.scatter_type == "max":
-            pool = pool_local_max
-        elif self.scatter_type == "mean":
-            pool = pool_local_mean
-        else:
+        if self.scatter_type not in ("max", "mean"):
             raise ValueError(f"Invalid scatter type: {self.scatter_type}")
+
+        if use_sorted:
+            starts = run_starts(cells)
+
+            def pool_fn(values):
+                if self.scatter_type == "max":
+                    pooled = sorted_segment_max(values, offsets, starts)
+                else:
+                    pooled = sorted_segment_mean(values, offsets)
+                return gather_cells_sorted(pooled, cells)
+        else:
+            index = cell_index(xy, reso)
+            pool = pool_local_max if self.scatter_type == "max" else pool_local_mean
+
+            def pool_fn(values):
+                return pool(values, index, reso, mask)
 
         net = nn.Dense(2 * self.hidden_dim, kernel_init=kernel_init, dtype=self.dtype,
                        name="fc_pos")(points)
         net = ResnetBlockFC(self.hidden_dim, dtype=self.dtype, name="block0")(net)
         for i in range(1, self.n_blocks):
-            pooled = pool(net, index, reso, mask)
+            pooled = pool_fn(net)
             net = jnp.concatenate([net, pooled], axis=-1)
             net = ResnetBlockFC(self.hidden_dim, dtype=self.dtype, name=f"block{i}")(net)
 
@@ -74,15 +104,18 @@ class LocalPoolPointnet(nn.Module):
         net = nn.Dense(self.feature_dim, kernel_init=kernel_init, dtype=self.dtype,
                        name="fc_c")(net)
 
-        plane = segment_mean(net, index, reso * reso, mask)
-        plane = plane.reshape(points.shape[0], reso, reso, self.feature_dim)
+        if use_sorted:
+            plane = morton_to_plane(sorted_segment_mean(net, offsets), reso)
+        else:
+            plane = segment_mean(net, index, reso * reso, mask)
+            plane = plane.reshape(points.shape[0], reso, reso, self.feature_dim)
 
         unet_kwargs = dict(self.unet_kwargs or {})
         if self.unet_type == "unet":
             fea = UNet(self.feature_dim, dtype=self.dtype, name="unet", **unet_kwargs)(plane)
         elif self.unet_type == "alto":
             fea = AltoUNet(self.feature_dim, dtype=self.dtype, name="unet", **unet_kwargs)(
-                points, plane, net, mask
+                points, plane, net, mask, offsets if use_sorted else None
             )
         else:
             raise ValueError(f"Unknown unet_type: {self.unet_type}")

@@ -101,10 +101,10 @@ class Trainer:
     # -- state ------------------------------------------------------------------
 
     def init_state(self, rng_key, sample_batch) -> TrainState:
-        points, mask, image = self._inputs(sample_batch)
+        points, mask, image, cells, offsets = self._inputs(sample_batch)
         # jit the init: eager init is one device round trip per op (minutes on a
         # remote-tunneled chip); jitted it is a single program
-        params = jax.jit(self.model.init)(rng_key, points, mask, image)
+        params = jax.jit(self.model.init)(rng_key, points, mask, image, cells, offsets)
         state = TrainState(
             params=params,
             opt_state=self.tx.init(params),
@@ -116,13 +116,15 @@ class Trainer:
         points = batch["points"] if self.use_cloud else None
         mask = batch["point_mask"] if self.use_cloud else None
         image = batch.get("image") if self.use_image else None
-        return points, mask, image
+        cells = batch.get("cell") if self.use_cloud else None
+        offsets = batch.get("cell_offsets") if self.use_cloud else None
+        return points, mask, image, cells, offsets
 
     # -- loss -------------------------------------------------------------------
 
     def _loss(self, params, batch):
-        points, mask, image = self._inputs(batch)
-        pa, pb = self.model.apply(params, points, mask, image)
+        points, mask, image, cells, offsets = self._inputs(batch)
+        pa, pb = self.model.apply(params, points, mask, image, cells, offsets)
         dsm = batch["dsm"]
         valid = batch["patch_valid"]
         pa = pa[..., 0]
@@ -156,7 +158,8 @@ class Trainer:
 
     # -- public API (reference trainer.py:47-146) ---------------------------------
 
-    DEVICE_KEYS = ("points", "point_mask", "image", "dsm", "patch_valid")
+    DEVICE_KEYS = ("points", "point_mask", "image", "dsm", "patch_valid",
+                   "cell", "cell_offsets")
 
     def _device_batch(self, batch):
         """Keep only array fields the step consumes (names/geo-bounds stay on host)."""

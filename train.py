@@ -84,14 +84,20 @@ def main(overrides=None):
     }
     buckets = cfg_dataset["points"]["bucket_sizes"]
     prefetch = cfg.select("dataloader.prefetch", 2)
+    # Optional Morton-sorted scatter-free device path (dataset.points.sort).
+    # Benchmarked SLOWER than XLA scatter on TPU v5e (109 vs 74 ms/4-tile batch,
+    # scripts/profile_paths.py) — off by default; kept for Pallas work.
+    sort_reso = (cfg.select("model.encoder_kwargs.plane_resolution")
+                 if cfg.select("dataset.points.sort", False)
+                 and cfg["use_cloud"] and cfg["model"]["encoder"] == "pointnet_local_pool"
+                 else None)
+    common = dict(bucket_sizes=buckets, fixed_bucket=cfg_dataset["points"]["train_bucket"],
+                  sort_reso=sort_reso)
     loaders = {
-        "train": PatchLoader(datasets["train"], cfg_training["batch_size"], buckets,
-                             fixed_bucket=cfg_dataset["points"]["train_bucket"],
-                             shuffle=True, drop_last=True, prefetch=prefetch),
-        "val": PatchLoader(datasets["val"], cfg_training["val_batch_size"], buckets,
-                           fixed_bucket=cfg_dataset["points"]["train_bucket"]),
-        "vis": PatchLoader(datasets["vis"], cfg_training["val_batch_size"], buckets,
-                           fixed_bucket=cfg_dataset["points"]["train_bucket"]),
+        "train": PatchLoader(datasets["train"], cfg_training["batch_size"],
+                             shuffle=True, drop_last=True, prefetch=prefetch, **common),
+        "val": PatchLoader(datasets["val"], cfg_training["val_batch_size"], **common),
+        "vis": PatchLoader(datasets["vis"], cfg_training["val_batch_size"], **common),
     }
     log.info("Training data: n_data=%d, batch_size=%d", len(datasets["train"]),
              cfg_training["batch_size"])
