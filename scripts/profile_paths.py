@@ -33,14 +33,19 @@ def main(batch=4, n=16384, reso=256, reps=6, dtype="float32"):
     jc, jo = jnp.asarray(cells), jnp.asarray(offs)
 
     model = _flagship_model().clone(dtype=jnp.dtype(dtype))
+    ek = dict(model.encoder_kwargs)
+    model_pallas = model.clone(encoder_kwargs={**ek, "sorted_impl": "pallas"})
     params = jax.jit(model.init)(jax.random.PRNGKey(0), jp[:1, :256], jm[:1, :256], None)
 
     print(f"batch={batch} n={n} reso={reso} dtype={dtype} reps={reps}")
     timed("harness floor (x+1)", lambda x: (x + 1.0).sum(), jp, reps=reps)
     timed("forward UNSORTED",
           lambda p, x, m: model.apply(p, x, m, None)[0].sum(), params, jp, jm, reps=reps)
-    timed("forward SORTED",
+    timed("forward SORTED cumsum",
           lambda p, x, m, c, o: model.apply(p, x, m, None, c, o)[0].sum(),
+          params, jp, jm, jc, jo, reps=reps)
+    timed("forward SORTED pallas",
+          lambda p, x, m, c, o: model_pallas.apply(p, x, m, None, c, o)[0].sum(),
           params, jp, jm, jc, jo, reps=reps)
 
 

@@ -32,7 +32,7 @@ from tomosar2height_tpu.ops.scatter import cell_index, segment_mean
 from tomosar2height_tpu.ops.sorted_scatter import (
     coarsen_offsets,
     morton_to_plane,
-    sorted_segment_mean,
+    scatter_mean_morton,
 )
 
 
@@ -40,16 +40,21 @@ def _scatter_plane(xy, c, reso, mask, cell_cache):
     """scatter_mean point features into a (reso, reso) NHWC plane
     (reference alto.py:76-88).
 
-    Fast path: when the batch carries Morton-sorted cell offsets
-    (``cell_cache['offsets']`` at ``cell_cache['finest']`` resolution), the
-    reduction is a cumsum+gather (ops/sorted_scatter.py) — no XLA scatter.
+    Fast path: when the batch carries Morton-sorted cell metadata
+    (``cell_cache['offsets']``/``['cells']`` at ``['finest']`` resolution),
+    the reduction is scatter-free: the Pallas one-hot-matmul kernel or a
+    cumsum+gather chain (``cell_cache['impl']``). Coarser levels reuse the
+    finest sort: offsets stride-subsampled, Morton ids bit-truncated.
     """
     offsets = cell_cache.get("offsets")
     if offsets is not None:
         finest = cell_cache["finest"]
         level = int(finest).bit_length() - int(reso).bit_length()
         off = coarsen_offsets(offsets, level) if level else offsets
-        vec = sorted_segment_mean(c, off)
+        cells = cell_cache.get("cells")
+        if cells is not None and level:
+            cells = cells >> (2 * level)
+        vec = scatter_mean_morton(c, off, cells, reso, cell_cache.get("impl", "cumsum"))
         return morton_to_plane(vec, reso)
     idx = cell_cache.get(reso)
     if idx is None:
@@ -169,25 +174,25 @@ class AltoUNet(nn.Module):
         plane: jnp.ndarray,
         c: jnp.ndarray,
         mask: Optional[jnp.ndarray] = None,
-        offsets: Optional[jnp.ndarray] = None,
+        buckets: Optional[Dict] = None,
     ) -> jnp.ndarray:
         """
         Args:
             points: (B, N, >=2) normalized point coordinates (xy used). When
-                ``offsets`` is given, points/c/mask must be Morton-cell-sorted.
+                ``buckets`` is given, points/c/mask must be Morton-cell-sorted.
             plane: (B, R, R, C_in) initial feature plane.
             c: (B, N, C_in) initial per-point features.
             mask: (B, N) validity of padded points.
-            offsets: (B, R*R + 1) Morton segment offsets at the plane's
-                resolution (fast scatter path).
+            buckets: optional {'offsets': (B, R*R+1), 'cells': (B, N),
+                'impl': 'cumsum'|'pallas'} enabling the scatter-free path.
 
         Returns:
             (B, R, R, num_classes) output plane.
         """
         xy = points[..., :2]
         cell_cache: Dict = {}
-        if offsets is not None:
-            cell_cache["offsets"] = offsets
+        if buckets is not None:
+            cell_cache.update(buckets)
             cell_cache["finest"] = plane.shape[1]
 
         encoder_outs = []

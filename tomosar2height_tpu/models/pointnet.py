@@ -25,6 +25,7 @@ from tomosar2height_tpu.ops.sorted_scatter import (
     gather_cells_sorted,
     morton_to_plane,
     run_starts,
+    scatter_mean_morton,
     sorted_segment_max,
     sorted_segment_mean,
 )
@@ -46,6 +47,7 @@ class LocalPoolPointnet(nn.Module):
     unet_kwargs: Optional[dict] = None
     plane_resolution: int = 256
     n_blocks: int = 5
+    sorted_impl: str = "cumsum"  # 'cumsum' | 'pallas' backend for the sorted path
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -105,17 +107,22 @@ class LocalPoolPointnet(nn.Module):
                        name="fc_c")(net)
 
         if use_sorted:
-            plane = morton_to_plane(sorted_segment_mean(net, offsets), reso)
+            vec = scatter_mean_morton(net, offsets, cells, reso, self.sorted_impl)
+            plane = morton_to_plane(vec, reso)
         else:
             plane = segment_mean(net, index, reso * reso, mask)
             plane = plane.reshape(points.shape[0], reso, reso, self.feature_dim)
 
         unet_kwargs = dict(self.unet_kwargs or {})
+        buckets = (
+            {"offsets": offsets, "cells": cells, "impl": self.sorted_impl}
+            if use_sorted else None
+        )
         if self.unet_type == "unet":
             fea = UNet(self.feature_dim, dtype=self.dtype, name="unet", **unet_kwargs)(plane)
         elif self.unet_type == "alto":
             fea = AltoUNet(self.feature_dim, dtype=self.dtype, name="unet", **unet_kwargs)(
-                points, plane, net, mask, offsets if use_sorted else None
+                points, plane, net, mask, buckets
             )
         else:
             raise ValueError(f"Unknown unet_type: {self.unet_type}")

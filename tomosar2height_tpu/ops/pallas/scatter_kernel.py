@@ -1,0 +1,161 @@
+"""Pallas TPU kernel: point->grid scatter-mean as tiled one-hot matmuls.
+
+The framework's hottest transfer is pooling ~16k ragged points into a 256^2
+feature plane (reference torch_scatter scatter_mean; 13 instances per ALTO
+forward). XLA lowers it to a serialized scatter-add; this kernel reformulates
+it for the MXU (PointAcc-style, PAPERS.md):
+
+- points arrive Morton-cell-sorted with per-cell ``offsets`` (host bucketing,
+  ops/sorted_scatter.py), so every Morton-aligned tile of ``TILE_CELLS`` cells
+  owns a contiguous point range;
+- the grid iterates (batch, tile); each step loops over the CHUNK-aligned
+  128-point windows covering its range, builds a [CHUNK, TILE_CELLS] one-hot
+  from the cell ids, and accumulates ``one_hot.T @ values`` (and counts) with
+  MXU matmuls — a scatter with zero scatter instructions. Rows belonging to
+  neighboring tiles produce all-zero one-hot rows (their cells fall outside
+  the tile's id range), so no explicit row masking is needed;
+- channels are padded to the 128-lane width (the HBM layout pads anyway, so
+  the DMAs move no extra bytes) and Mosaic's slice-alignment rules are met;
+- per-tile means are written as the Morton-ordered cell vector; the caller
+  reshapes to a row-major plane via :func:`...sorted_scatter.morton_to_plane`.
+
+Tile-range offsets ride in via ``PrefetchScalarGridSpec`` so the DMA windows
+are known before each kernel body runs (pallas_guide.md).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_CELLS = 256   # cells per Morton tile (a 16x16 spatial block)
+CHUNK = 128        # points per inner matmul chunk (MXU sublane-friendly)
+LANE = 128         # TPU lane width; channel dim padded to a multiple
+
+
+def _scatter_tile_kernel(
+    tile_offsets_ref,  # scalar-prefetch: (B, T+1) int32
+    values_ref,        # HBM: (B, Npad, Cp)
+    cells_ref,         # HBM: (B, Npad, LANE) int32 (cell id broadcast in lane 0)
+    out_ref,           # VMEM block: (1, 1, TILE_CELLS, Cp)
+    acc_ref,           # VMEM scratch: (TILE_CELLS, Cp) f32
+    cnt_ref,           # VMEM scratch: (TILE_CELLS, 1) f32
+    vchunk_ref,        # VMEM scratch: (CHUNK, Cp)
+    cchunk_ref,        # VMEM scratch: (CHUNK, LANE) int32
+    sem_v,
+    sem_c,
+):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    start = tile_offsets_ref[b, t]
+    end = tile_offsets_ref[b, t + 1]
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    cnt_ref[:] = jnp.zeros_like(cnt_ref)
+
+    tile_base = t * TILE_CELLS
+    cell_iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, TILE_CELLS), 1)
+
+    first_k = start // CHUNK
+    last_k = pl.cdiv(end, CHUNK)  # exclusive
+
+    def body(k, _):
+        chunk_start = pl.multiple_of(k * CHUNK, CHUNK)
+        cp_v = pltpu.make_async_copy(
+            values_ref.at[b, pl.ds(chunk_start, CHUNK), :], vchunk_ref, sem_v
+        )
+        cp_c = pltpu.make_async_copy(
+            cells_ref.at[b, pl.ds(chunk_start, CHUNK), :], cchunk_ref, sem_c
+        )
+        cp_v.start()
+        cp_c.start()
+        cp_v.wait()
+        cp_c.wait()
+
+        local = cchunk_ref[:, :1] - tile_base  # (CHUNK, 1)
+        # rows whose cell lies outside [0, TILE_CELLS) match no column
+        onehot = (local == cell_iota).astype(jnp.float32)
+        # HIGHEST precision: the default bf16 matmul truncates the scattered
+        # values (one-hot weights are exact either way)
+        acc_ref[:] += jax.lax.dot_general(
+            onehot, vchunk_ref[:].astype(jnp.float32),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        cnt_ref[:] += jnp.sum(onehot, axis=0)[:, None]
+        return 0
+
+    jax.lax.fori_loop(first_k, last_k, body, 0)
+    out_ref[0, 0] = (acc_ref[:] / jnp.maximum(cnt_ref[:], 1.0)).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("reso", "interpret"))
+def pallas_scatter_mean(
+    values: jnp.ndarray,
+    cells: jnp.ndarray,
+    offsets: jnp.ndarray,
+    reso: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Morton-ordered per-cell mean via the tiled one-hot-matmul kernel.
+
+    Args:
+        values: (B, N, C) float, Morton-cell-sorted.
+        cells: (B, N) int32 sorted Morton ids (padding rows have id >= reso**2).
+        offsets: (B, reso**2 + 1) int32 cell segment offsets.
+        reso: plane resolution (power of two, reso**2 % TILE_CELLS == 0).
+
+    Returns:
+        (B, reso*reso, C) Morton-ordered cell means (0 for empty cells) — pass
+        through ``morton_to_plane`` for the NHWC plane.
+    """
+    b, n, c = values.shape
+    ncell = reso * reso
+    assert ncell % TILE_CELLS == 0
+    n_tiles = ncell // TILE_CELLS
+    cp = ((c + LANE - 1) // LANE) * LANE
+
+    # pad: channel dim to the lane width (free — HBM layout pads regardless),
+    # point dim so CHUNK-aligned DMA windows never run off the end
+    n_pad = ((n + CHUNK - 1) // CHUNK) * CHUNK + CHUNK
+    values_p = jnp.pad(values, ((0, 0), (0, n_pad - n), (0, cp - c)))
+    cells_p = jnp.pad(cells.astype(jnp.int32), ((0, 0), (0, n_pad - n)),
+                      constant_values=ncell + TILE_CELLS)
+    # lane-width int payload so the cell DMA is aligned too
+    cells_wide = jnp.broadcast_to(cells_p[..., None], (b, n_pad, LANE))
+
+    tile_offsets = offsets[:, ::TILE_CELLS].astype(jnp.int32)  # (B, n_tiles + 1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # values stay in HBM; DMA'd manually
+            pl.BlockSpec(memory_space=pltpu.ANY),  # cells
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, TILE_CELLS, cp), lambda b_, t_, *_: (b_, t_, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((TILE_CELLS, cp), jnp.float32),
+            pltpu.VMEM((TILE_CELLS, 1), jnp.float32),
+            pltpu.VMEM((CHUNK, cp), values.dtype),
+            pltpu.VMEM((CHUNK, LANE), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+
+    out = pl.pallas_call(
+        _scatter_tile_kernel,
+        out_shape=jax.ShapeDtypeStruct((b, n_tiles, TILE_CELLS, cp), values.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(tile_offsets, values_p, cells_wide)
+    return out.reshape(b, ncell, cp)[..., :c]

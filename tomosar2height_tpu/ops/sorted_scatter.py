@@ -151,6 +151,26 @@ def sorted_segment_mean(values: jnp.ndarray, offsets: jnp.ndarray) -> jnp.ndarra
     return sums / jnp.maximum(counts, 1.0)
 
 
+def scatter_mean_morton(
+    values: jnp.ndarray,
+    offsets: jnp.ndarray,
+    cells: jnp.ndarray,
+    reso: int,
+    impl: str = "cumsum",
+) -> jnp.ndarray:
+    """Morton-ordered per-cell mean with a selectable backend.
+
+    impl='pallas' routes through the tiled one-hot-matmul TPU kernel
+    (ops/pallas/scatter_kernel.py) when the plane has >= one full Morton tile;
+    'cumsum' is the pure-XLA fallback. Returns (B, reso*reso, C).
+    """
+    if impl == "pallas" and (reso * reso) % 256 == 0:
+        from tomosar2height_tpu.ops.pallas import pallas_scatter_mean
+
+        return pallas_scatter_mean(values, cells, offsets, reso)
+    return sorted_segment_mean(values, offsets)
+
+
 def _segmented_max_op(a, b):
     """Associative segmented-max combine on (value, start_flag) pairs."""
     va, fa = a
