@@ -16,7 +16,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 from tomosar2height_tpu.geo import RasterReader  # noqa: E402
 from tomosar2height_tpu.geo.cloud import load_pc  # noqa: E402
-from tomosar2height_tpu.infer.instance import buildingwise_errors, pointcloud_median_baseline  # noqa: E402
+from tomosar2height_tpu.infer.instance import buildingwise_errors_georef, pointcloud_median_baseline  # noqa: E402
 
 
 def main():
@@ -38,10 +38,8 @@ def main():
 
     a = ap.parse_args()
     if a.mode == "raster":
-        out = buildingwise_errors(
-            RasterReader(a.pred).get_data(),
-            RasterReader(a.gt).get_data(),
-            RasterReader(a.mask).get_data(),
+        out = buildingwise_errors_georef(
+            RasterReader(a.pred), RasterReader(a.gt), RasterReader(a.mask)
         )
     else:
         out = pointcloud_median_baseline(

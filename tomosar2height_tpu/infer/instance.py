@@ -54,6 +54,24 @@ def buildingwise_errors(
     }
 
 
+def buildingwise_errors_georef(pred_raster, gt_raster, mask_raster) -> Dict[str, float]:
+    """Georeferenced variant: clips GT and mask to the predicted raster's extent
+    using the affine transforms before scoring (the reference CLI assumes
+    pre-clipped same-extent chunk tiles, evaluator_instance.py:60-66)."""
+    import numpy as np
+
+    pred = pred_raster.get_data()
+    tl = pred_raster.T * (0, 0)
+    cr = np.floor((~gt_raster.T).apply(np.array([tl]))).astype(int)
+    c0, r0 = int(cr[0, 0]), int(cr[0, 1])
+    h, w = pred.shape
+    gt = gt_raster.get_data()[r0:r0 + h, c0:c0 + w]
+    cr = np.floor((~mask_raster.T).apply(np.array([tl]))).astype(int)
+    mc0, mr0 = int(cr[0, 0]), int(cr[0, 1])
+    mask = mask_raster.get_data()[mr0:mr0 + h, mc0:mc0 + w]
+    return buildingwise_errors(pred, gt, mask)
+
+
 def pointcloud_median_baseline(
     points: np.ndarray,
     gt_ndsm,

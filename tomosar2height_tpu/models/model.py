@@ -43,6 +43,10 @@ class TomoSAR2Height(nn.Module):
     encoder2_kwargs: Optional[Dict[str, Any]] = None
     decoder_kwargs: Optional[Dict[str, Any]] = None
     z_scale: float = 1.0
+    # rematerialize encoder activations in the backward pass (jax.checkpoint):
+    # trades ~1 extra encoder forward for the dominant activation memory —
+    # the difference between batch 4 and batch 8+ fitting in 16 GB HBM
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -75,6 +79,8 @@ class TomoSAR2Height(nn.Module):
             from tomosar2height_tpu.models import encoder_dict
 
             enc_cls = encoder_dict()[self.encoder]
+            if self.remat:
+                enc_cls = nn.remat(enc_cls)
             kwargs = dict(self.encoder_kwargs or {})
             enc = enc_cls(dtype=self.dtype, name="point_encoder", **kwargs)
             if self.encoder == "pointnet_local_pool":
@@ -120,5 +126,6 @@ def build_model(cfg) -> TomoSAR2Height:
         encoder2_kwargs=enc2_kwargs,
         decoder_kwargs=dict(_get(cfg_model, "decoder_pixel_kwargs", {}) or {}),
         z_scale=float(z_bound[1]) - float(z_bound[0]),
+        remat=bool(_get(cfg_model, "remat", False)),
         dtype=dtype,
     )
