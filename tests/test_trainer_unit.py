@@ -1,0 +1,93 @@
+"""Trainer unit semantics: gradient accumulation, dynamic LR, loss masking."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tomosar2height_tpu.models import TomoSAR2Height
+from tomosar2height_tpu.parallel.mesh import make_mesh
+from tomosar2height_tpu.train.trainer import Trainer, masked_patch_mean
+
+
+def _tiny_model():
+    return TomoSAR2Height(
+        encoder_kwargs={
+            "feature_dim": 4, "hidden_dim": 4, "plane_resolution": 16,
+            "unet_type": "unet", "unet_kwargs": {"depth": 2, "start_filts": 4},
+        },
+        decoder_kwargs={"hidden_dim": 4, "output_size": 32},
+        z_scale=60.0,
+    )
+
+
+def _batch(rng, b=2, n=128, valid=None):
+    return {
+        "points": rng.uniform(0.01, 0.99, (b, n, 3)).astype(np.float32),
+        "point_mask": np.ones((b, n), bool),
+        "patch_valid": np.array(valid if valid is not None else [True] * b),
+        "dsm": rng.uniform(0, 30, (b, 32, 32)).astype(np.float32),
+    }
+
+
+class TestAccumulation:
+    def test_multisteps_applies_every_k(self, rng):
+        trainer = Trainer(_tiny_model(), {"optimize_every": 2}, use_cloud=True,
+                          mesh=make_mesh(1), donate=False)
+        batch = _batch(rng)
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        p0 = jax.tree.leaves(state.params)[0].copy()
+
+        state = trainer.train_step(state, batch, 1e-3)
+        # after 1 of 2 ministeps: parameters must be unchanged (grads held)
+        np.testing.assert_array_equal(np.asarray(jax.tree.leaves(state.params)[0]),
+                                      np.asarray(p0))
+        assert trainer.accumulated_steps == 1
+        assert trainer.last_avg_loss == 0.0  # not published yet
+
+        state = trainer.train_step(state, batch, 1e-3)
+        assert trainer.accumulated_steps == 0
+        assert trainer.last_avg_loss > 0.0  # published average of 2 ministeps
+        assert not np.array_equal(np.asarray(jax.tree.leaves(state.params)[0]),
+                                  np.asarray(p0))
+
+    def test_lr_scales_update(self, rng):
+        trainer = Trainer(_tiny_model(), {"optimize_every": 1}, use_cloud=True,
+                          mesh=make_mesh(1), donate=False)
+        batch = _batch(rng)
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        p0 = jax.tree.leaves(state.params)[0]
+        s_small = trainer.train_step(state, batch, 1e-5)
+        state2 = trainer.init_state(jax.random.PRNGKey(0), batch)
+        s_big = trainer.train_step(state2, batch, 1e-2)
+        d_small = float(jnp.abs(jax.tree.leaves(s_small.params)[0] - p0).max())
+        d_big = float(jnp.abs(jax.tree.leaves(s_big.params)[0] - p0).max())
+        # adam normalizes, so the max update magnitude ~ lr
+        assert d_big > 50 * d_small
+
+    def test_invalid_patches_masked_from_loss(self, rng):
+        trainer = Trainer(_tiny_model(), {"optimize_every": 1}, use_cloud=True,
+                          mesh=make_mesh(1), donate=False)
+        b_all = _batch(rng, valid=[True, True])
+        state = trainer.init_state(jax.random.PRNGKey(0), b_all)
+        # poison patch 1's dsm; with patch 1 invalid, loss must equal the
+        # valid-only loss
+        b_poison = dict(b_all)
+        b_poison["dsm"] = b_all["dsm"].copy()
+        b_poison["dsm"][1] = 1e6
+        b_poison["patch_valid"] = np.array([True, False])
+        m_poison = trainer.eval_step(state, b_poison)
+        b_single = {k: (v[:1] if isinstance(v, np.ndarray) else v) for k, v in b_all.items()}
+        m_single = trainer.eval_step(state, b_single)
+        assert m_poison["loss_l1"] == pytest.approx(m_single["loss_l1"], rel=1e-5)
+
+
+class TestMaskedPatchMean:
+    def test_weights(self):
+        per_pixel = jnp.asarray(np.stack([np.full((4, 4), 2.0), np.full((4, 4), 100.0)]))
+        v = jnp.asarray(np.array([True, False]))
+        assert float(masked_patch_mean(per_pixel, v)) == pytest.approx(2.0)
+        assert float(masked_patch_mean(per_pixel, jnp.asarray([True, True]))) == pytest.approx(51.0)
+        # no valid patches -> 0, not NaN
+        assert float(masked_patch_mean(per_pixel, jnp.asarray([False, False]))) == 0.0

@@ -24,7 +24,6 @@ Empty cells reduce to 0, matching torch_scatter's zero-init semantics.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax

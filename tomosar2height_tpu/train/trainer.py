@@ -19,8 +19,7 @@ validation loop) — re-designed TPU-first:
 from __future__ import annotations
 
 import logging
-from functools import partial
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import flax.struct
 import jax

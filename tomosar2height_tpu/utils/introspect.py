@@ -9,7 +9,7 @@ is ``capture_intermediates`` — no model-code changes needed.
 from __future__ import annotations
 
 import pickle
-from typing import Dict, List, Tuple
+from typing import List, Tuple
 
 import numpy as np
 
