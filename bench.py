@@ -17,6 +17,9 @@ import numpy as np
 
 def main(batch: int = 4, n_points: int = 16384, iters: int = 20, train: bool = False,
          dtype: str = "float32", scan: int = 0, sorted_path: bool = False):
+    from tomosar2height_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     import jax
     import jax.numpy as jnp
 

@@ -22,7 +22,7 @@ from tomosar2height_tpu.data import PatchLoader, TomoSARDataset
 from tomosar2height_tpu.infer import DSMEvaluator, DSMGenerator, print_statistics
 from tomosar2height_tpu.models import build_model
 from tomosar2height_tpu.train import CheckpointIO, DEFAULT_MODEL_FILE
-from tomosar2height_tpu.utils import lock_seed, setup_logging
+from tomosar2height_tpu.utils import enable_compile_cache, lock_seed, setup_logging
 
 log = logging.getLogger("test")
 
@@ -42,6 +42,7 @@ def main(overrides=None):
 
     if cfg_training["lock_seed"]:
         lock_seed(0)
+    enable_compile_cache()
 
     test_dataset = TomoSARDataset("test", cfg_dataset, random_sample=False)
     sort_reso = (cfg.select("model.encoder_kwargs.plane_resolution")

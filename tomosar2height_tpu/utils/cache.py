@@ -1,0 +1,26 @@
+"""Persistent XLA compilation cache setup.
+
+First compiles through the remote TPU tunnel take minutes; with the on-disk
+cache, restarted runs (resume, eval sweeps, benches) reuse compiled programs.
+Call before the first jit; safe no-op if the backend rejects the config.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def enable_compile_cache(cache_dir: str | None = None) -> None:
+    import jax
+
+    if cache_dir is None:
+        cache_dir = os.environ.get(
+            "TOMOSAR_JAX_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache", "tomosar2height_tpu", "jax"),
+        )
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass

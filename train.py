@@ -28,7 +28,7 @@ from tomosar2height_tpu.parallel import make_mesh
 from tomosar2height_tpu.train import CheckpointIO, Trainer, build_scheduler
 from tomosar2height_tpu.train.schedule import ITERATION_SCHEDULERS
 from tomosar2height_tpu.train.trainer import TrainState
-from tomosar2height_tpu.utils import MetricLogger, lock_seed, setup_logging
+from tomosar2height_tpu.utils import MetricLogger, enable_compile_cache, lock_seed, setup_logging
 
 log = logging.getLogger("train")
 
@@ -58,6 +58,7 @@ def main(overrides=None):
     )
 
     t_start = time.time()
+    enable_compile_cache()
     mesh = make_mesh(cfg.select("device.mesh.data", -1))
     # batch axes shard over the mesh -> every batch size must divide evenly;
     # shrink the mesh to the largest compatible divisor if not
