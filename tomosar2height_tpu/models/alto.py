@@ -31,8 +31,7 @@ from tomosar2height_tpu.ops.sampling import grid_sample_2d
 from tomosar2height_tpu.ops.scatter import cell_index, segment_mean
 from tomosar2height_tpu.ops.sorted_scatter import (
     coarsen_offsets,
-    morton_to_plane,
-    scatter_mean_morton,
+    scatter_mean_plane_morton,
 )
 
 
@@ -54,8 +53,8 @@ def _scatter_plane(xy, c, reso, mask, cell_cache):
         cells = cell_cache.get("cells")
         if cells is not None and level:
             cells = cells >> (2 * level)
-        vec = scatter_mean_morton(c, off, cells, reso, cell_cache.get("impl", "cumsum"))
-        return morton_to_plane(vec, reso)
+        return scatter_mean_plane_morton(c, off, cells, reso,
+                                         cell_cache.get("impl", "cumsum"))
     idx = cell_cache.get(reso)
     if idx is None:
         idx = cell_index(xy, reso)

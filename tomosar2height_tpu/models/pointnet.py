@@ -19,15 +19,13 @@ from tomosar2height_tpu.ops.scatter import (
     cell_index,
     pool_local_max,
     pool_local_mean,
+    segment_max,
     segment_mean,
 )
 from tomosar2height_tpu.ops.sorted_scatter import (
     gather_cells_sorted,
-    morton_to_plane,
-    run_starts,
     scatter_mean_morton,
-    sorted_segment_max,
-    sorted_segment_mean,
+    scatter_mean_plane_morton,
 )
 
 
@@ -79,13 +77,16 @@ class LocalPoolPointnet(nn.Module):
             raise ValueError(f"Invalid scatter type: {self.scatter_type}")
 
         if use_sorted:
-            starts = run_starts(cells)
-
             def pool_fn(values):
                 if self.scatter_type == "max":
-                    pooled = sorted_segment_max(values, offsets, starts)
+                    # XLA segment_max on the Morton ids: measured faster than a
+                    # segmented associative scan on TPU (scan pays log-N full
+                    # passes); order consistency is free since gather-back uses
+                    # the same Morton ids
+                    pooled = segment_max(values, cells, reso * reso, mask)
                 else:
-                    pooled = sorted_segment_mean(values, offsets)
+                    pooled = scatter_mean_morton(values, offsets, cells, reso,
+                                                 self.sorted_impl)
                 return gather_cells_sorted(pooled, cells)
         else:
             index = cell_index(xy, reso)
@@ -107,8 +108,7 @@ class LocalPoolPointnet(nn.Module):
                        name="fc_c")(net)
 
         if use_sorted:
-            vec = scatter_mean_morton(net, offsets, cells, reso, self.sorted_impl)
-            plane = morton_to_plane(vec, reso)
+            plane = scatter_mean_plane_morton(net, offsets, cells, reso, self.sorted_impl)
         else:
             plane = segment_mean(net, index, reso * reso, mask)
             plane = plane.reshape(points.shape[0], reso, reso, self.feature_dim)

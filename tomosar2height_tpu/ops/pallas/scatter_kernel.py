@@ -29,12 +29,37 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE_CELLS = 256   # cells per Morton tile (a 16x16 spatial block)
+TILE_SIDE = 16     # spatial side of a tile
 CHUNK = 128        # points per inner matmul chunk (MXU sublane-friendly)
 LANE = 128         # TPU lane width; channel dim padded to a multiple
+
+
+def _deinterleave_bits(v, bits: int, phase: int):
+    """Extract every-other bit of v starting at ``phase`` (traced-int safe)."""
+    out = v * 0
+    for b in range(bits):
+        out = out | (((v >> (2 * b + phase)) & 1) << b)
+    return out
+
+
+# static [256] permutation: row-major in-tile index -> Morton in-tile index
+_TILE_PERM = np.zeros(TILE_CELLS, dtype=np.int32)
+for _q in range(TILE_CELLS):
+    _y, _x = _q // TILE_SIDE, _q % TILE_SIDE
+    _m = 0
+    for _b in range(4):
+        _m |= ((_x >> _b) & 1) << (2 * _b)
+        _m |= ((_y >> _b) & 1) << (2 * _b + 1)
+    _TILE_PERM[_q] = _m
+# one-hot matrix form: P[i, j] = 1 iff morton cell j lands at row-major slot i;
+# applied as a 256x256 matmul on the MXU (VMEM gathers are not Mosaic-friendly)
+_TILE_PERM_MAT = np.zeros((TILE_CELLS, TILE_CELLS), dtype=np.float32)
+_TILE_PERM_MAT[np.arange(TILE_CELLS), _TILE_PERM] = 1.0
 
 
 def _scatter_tile_kernel(
@@ -61,7 +86,9 @@ def _scatter_tile_kernel(
     cell_iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, TILE_CELLS), 1)
 
     first_k = start // CHUNK
-    last_k = pl.cdiv(end, CHUNK)  # exclusive
+    # skip empty tiles entirely (cdiv alone would schedule one chunk when an
+    # empty tile's range sits mid-chunk: start == end = 200 -> k in [1, 2))
+    last_k = jnp.where(start == end, first_k, pl.cdiv(end, CHUNK))
 
     def body(k, _):
         chunk_start = pl.multiple_of(k * CHUNK, CHUNK)
@@ -92,6 +119,119 @@ def _scatter_tile_kernel(
 
     jax.lax.fori_loop(first_k, last_k, body, 0)
     out_ref[0, 0] = (acc_ref[:] / jnp.maximum(cnt_ref[:], 1.0)).astype(out_ref.dtype)
+
+
+def _scatter_tile_kernel_plane(
+    tile_offsets_ref, values_ref, cells_ref, perm_ref, out_ref,
+    acc_ref, cnt_ref, vchunk_ref, cchunk_ref, sem_v, sem_c,
+):
+    """Variant emitting row-major (TILE_SIDE, TILE_SIDE, Cp) plane blocks:
+    the Morton->row-major shuffle happens in-register via a 256x256 one-hot
+    permutation matmul, eliminating the host-graph transpose chain."""
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    start = tile_offsets_ref[b, t]
+    end = tile_offsets_ref[b, t + 1]
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    cnt_ref[:] = jnp.zeros_like(cnt_ref)
+
+    tile_base = t * TILE_CELLS
+    cell_iota = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, TILE_CELLS), 1)
+
+    def body(k, _):
+        chunk_start = pl.multiple_of(k * CHUNK, CHUNK)
+        cp_v = pltpu.make_async_copy(
+            values_ref.at[b, pl.ds(chunk_start, CHUNK), :], vchunk_ref, sem_v
+        )
+        cp_c = pltpu.make_async_copy(
+            cells_ref.at[b, pl.ds(chunk_start, CHUNK), :], cchunk_ref, sem_c
+        )
+        cp_v.start()
+        cp_c.start()
+        cp_v.wait()
+        cp_c.wait()
+        local = cchunk_ref[:, :1] - tile_base
+        onehot = (local == cell_iota).astype(jnp.float32)
+        acc_ref[:] += jax.lax.dot_general(
+            onehot, vchunk_ref[:].astype(jnp.float32),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        cnt_ref[:] += jnp.sum(onehot, axis=0)[:, None]
+        return 0
+
+    # skip empty tiles entirely (cdiv would still schedule one chunk when the
+    # tile's range sits inside a chunk: start == end = 200 -> k in [1, 2))
+    first_k = start // CHUNK
+    last_k = jnp.where(start == end, first_k, pl.cdiv(end, CHUNK))
+    jax.lax.fori_loop(first_k, last_k, body, 0)
+    mean = acc_ref[:] / jnp.maximum(cnt_ref[:], 1.0)
+    row_major = jax.lax.dot_general(
+        perm_ref[:], mean, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[0] = row_major.reshape(TILE_SIDE, TILE_SIDE, -1).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("reso", "interpret"))
+def pallas_scatter_mean_plane(
+    values: jnp.ndarray,
+    cells: jnp.ndarray,
+    offsets: jnp.ndarray,
+    reso: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Like :func:`pallas_scatter_mean` but returns the row-major NHWC plane
+    (B, reso, reso, C) directly — no Morton reshape/transpose afterwards."""
+    b, n, c = values.shape
+    ncell = reso * reso
+    assert ncell % TILE_CELLS == 0
+    n_tiles = ncell // TILE_CELLS
+    side_tiles = reso // TILE_SIDE
+    bits = side_tiles.bit_length() - 1
+    cp = ((c + LANE - 1) // LANE) * LANE
+
+    n_pad = ((n + CHUNK - 1) // CHUNK) * CHUNK + CHUNK
+    values_p = jnp.pad(values, ((0, 0), (0, n_pad - n), (0, cp - c)))
+    cells_p = jnp.pad(cells.astype(jnp.int32), ((0, 0), (0, n_pad - n)),
+                      constant_values=ncell + TILE_CELLS)
+    cells_wide = jnp.broadcast_to(cells_p[..., None], (b, n_pad, LANE))
+    tile_offsets = offsets[:, ::TILE_CELLS].astype(jnp.int32)
+
+    def out_index(b_, t_, *_):
+        ty = _deinterleave_bits(t_, bits, 1)
+        tx = _deinterleave_bits(t_, bits, 0)
+        return (b_, ty, tx, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((TILE_CELLS, TILE_CELLS), lambda b_, t_, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TILE_SIDE, TILE_SIDE, cp), out_index,
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((TILE_CELLS, cp), jnp.float32),
+            pltpu.VMEM((TILE_CELLS, 1), jnp.float32),
+            pltpu.VMEM((CHUNK, cp), values.dtype),
+            pltpu.VMEM((CHUNK, LANE), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        _scatter_tile_kernel_plane,
+        out_shape=jax.ShapeDtypeStruct((b, reso, reso, cp), values.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(tile_offsets, values_p, cells_wide, jnp.asarray(_TILE_PERM_MAT))
+    return out[..., :c]
 
 
 @functools.partial(jax.jit, static_argnames=("reso", "interpret"))

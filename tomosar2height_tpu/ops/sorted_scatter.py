@@ -170,6 +170,26 @@ def scatter_mean_morton(
     return sorted_segment_mean(values, offsets)
 
 
+def scatter_mean_plane_morton(
+    values: jnp.ndarray,
+    offsets: jnp.ndarray,
+    cells: jnp.ndarray,
+    reso: int,
+    impl: str = "cumsum",
+) -> jnp.ndarray:
+    """Morton-sorted points -> row-major NHWC plane (B, reso, reso, C).
+
+    impl='pallas' uses the fused kernel that emits plane blocks directly
+    (no Morton transpose chain); 'cumsum' goes through
+    :func:`sorted_segment_mean` + :func:`morton_to_plane`.
+    """
+    if impl == "pallas" and (reso * reso) % 256 == 0:
+        from tomosar2height_tpu.ops.pallas import pallas_scatter_mean_plane
+
+        return pallas_scatter_mean_plane(values, cells, offsets, reso)
+    return morton_to_plane(sorted_segment_mean(values, offsets), reso)
+
+
 def _segmented_max_op(a, b):
     """Associative segmented-max combine on (value, start_flag) pairs."""
     va, fa = a
