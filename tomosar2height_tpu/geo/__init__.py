@@ -14,6 +14,8 @@ from tomosar2height_tpu.geo.transform import (  # noqa: F401
     stack_transforms,
     coordinate2index,
     make_3d_grid,
+    normalize_pc,
+    invert_normalize_pc,
     rotation_matrix_z,
     reflection_matrix,
     ROT_MATRICES,

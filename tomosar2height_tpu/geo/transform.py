@@ -140,6 +140,16 @@ FLIP_MATRICES: Dict[int, np.ndarray] = {
 }
 
 
+def normalize_pc(points: np.ndarray, scales, center_shift) -> np.ndarray:
+    """(points - center_shift) / scales (reference utils/coordinate.py:68-83)."""
+    return (np.asarray(points, dtype=np.float64) - np.asarray(center_shift)) / np.asarray(scales)
+
+
+def invert_normalize_pc(points: np.ndarray, scales, center_shift) -> np.ndarray:
+    """points * scales + center_shift (reference utils/coordinate.py:86-99)."""
+    return np.asarray(points, dtype=np.float64) * np.asarray(scales) + np.asarray(center_shift)
+
+
 def apply_transform(points: np.ndarray, m: np.ndarray) -> np.ndarray:
     """Apply a 4x4 homogeneous transform to (N, 3) points (with w-divide).
 
