@@ -52,7 +52,9 @@ def main(overrides=None):
     loader = PatchLoader(test_dataset, cfg_training["val_batch_size"],
                          cfg_dataset["points"]["bucket_sizes"],
                          fixed_bucket=cfg_dataset["points"]["train_bucket"],
-                         sort_reso=sort_reso)
+                         sort_reso=sort_reso,
+                         prefetch=cfg.select("dataloader.prefetch", 2),
+                         n_workers=cfg.select("dataloader.n_workers", 0))
     log.info("Dataset path: '%s'", cfg_dataset["path"])
 
     model = build_model(cfg)
@@ -82,12 +84,24 @@ def main(overrides=None):
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(params))
     log.info("Total model parameters: %d", n_params)
 
+    # patch-sharded data-parallel inference over all compatible devices
+    import math
+
+    from tomosar2height_tpu.parallel import make_mesh
+
+    mesh = make_mesh(cfg.select("device.mesh.data", -1))
+    g = math.gcd(int(cfg_training["val_batch_size"]), mesh.size)
+    if g != mesh.size:
+        mesh = make_mesh(g)
+    log.info("Devices: %s (mesh %s)", jax.devices(), mesh.shape)
+
     generator_dsm = DSMGenerator(
         model, lambda: params, loader,
         dsm_pixel_size=cfg_dsm["pixel_size"],
         half_blend_percent=cfg_dsm.get("half_blend_percent"),
         crs_epsg=cfg_dsm.get("crs_epsg"),
         use_cloud=cfg["use_cloud"], use_image=cfg["use_image"],
+        mesh=mesh,
     )
     evaluator = DSMEvaluator(cfg_dataset["dsm_gt_path"], None, cfg_dataset["mask_files"])
 

@@ -187,3 +187,46 @@ class TestBatcher:
                              bucket_sizes=cfg["dataset"]["points"]["bucket_sizes"],
                              prefetch=2)
         assert len(list(loader)) == 2
+
+    def test_n_workers_matches_sync(self, city):
+        """Threaded patch fetch must preserve order and content exactly."""
+        cfg, root, _ = city
+        ds = TomoSARDataset("vis", cfg["dataset"])
+        kw = dict(bucket_sizes=cfg["dataset"]["points"]["bucket_sizes"])
+        sync = list(PatchLoader(ds, batch_size=2, **kw))
+        par = list(PatchLoader(ds, batch_size=2, n_workers=4, prefetch=2, **kw))
+        assert len(sync) == len(par)
+        for a, b in zip(sync, par):
+            assert a["name"] == b["name"]
+            np.testing.assert_array_equal(a["points"], b["points"])
+            np.testing.assert_array_equal(a["dsm"], b["dsm"])
+
+    def test_overflow_counters(self, city):
+        """Bucket-overflow subsampling is counted and logged, never silent."""
+        cfg, root, _ = city
+        ds = TomoSARDataset("vis", cfg["dataset"])
+        # force overflow with a tiny bucket
+        loader = PatchLoader(ds, batch_size=2, bucket_sizes=[64])
+        list(loader)
+        assert loader.overflow_patches > 0
+        assert loader.overflow_points > 0
+        # counts reset per epoch
+        big = PatchLoader(ds, batch_size=2, bucket_sizes=[1 << 20])
+        list(big)
+        assert big.overflow_patches == 0 and big.overflow_points == 0
+
+
+class TestPointDensityTool:
+    def test_report(self, city):
+        import point_density
+
+        cfg, root, _ = city
+        ds = TomoSARDataset("vis", cfg["dataset"])
+        counts = point_density.patch_point_counts(ds)
+        assert (counts > 0).any()
+        text = point_density.report(counts, [64], bins=5)
+        assert "overflow at largest bucket 64" in text
+        assert "recommended" in text
+        # no overflow case
+        text2 = point_density.report(counts, [1 << 20], bins=5)
+        assert "0 patches (0.00%)" in text2

@@ -1,0 +1,103 @@
+"""Multi-chip (data-parallel) inference: patch-sharded DSM generation must
+reproduce the single-device raster exactly (SURVEY.md §2.3(b); VERDICT r1 #3).
+
+Runs on the virtual 8-device CPU mesh from conftest.py.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+import jax
+
+from tomosar2height_tpu.config import compose
+from tomosar2height_tpu.config.compose import default_conf_dir
+from tomosar2height_tpu.data import PatchLoader, TomoSARDataset, build_dataset
+from tomosar2height_tpu.infer import DSMGenerator
+from tomosar2height_tpu.models import TomoSAR2Height
+from tomosar2height_tpu.parallel import make_mesh
+
+
+@pytest.fixture(scope="module")
+def city(tmp_path_factory):
+    import make_synthetic_city as msc
+
+    root = tmp_path_factory.mktemp("shard_city")
+    msc.main(str(root), seed=0, density=0.15)
+    cfg = compose(default_conf_dir(), overrides=[
+        "dataset=synthetic",
+        f"gt_dsm={root}/raster/ndsm.tif",
+        f"mask_files.building={root}/raster/footprint.tif",
+        f"input_pointcloud_folder={root}/cloud",
+        f"output.output_folder={root}/generated",
+        f"dataset.path={root}/generated",
+        f"dataset.mask_files.building={root}/raster/footprint.tif",
+        f"dataset.mask_files.type={root}/raster/building_class.tif",
+        f"dataset.satellite_image.folder={root}/raster",
+        "dataset.patch_size=[128,128]",
+        "dataset.sliding_window.vis_strip=[64,64]",
+        "dataset.points.bucket_sizes=[2048]",
+        "dataset.points.train_bucket=2048",
+    ])
+    build_dataset(cfg, overwrite=True)
+    return cfg, root
+
+
+def _tiny_model():
+    return TomoSAR2Height(
+        use_cloud=True,
+        encoder_kwargs={
+            "feature_dim": 8, "hidden_dim": 8, "plane_resolution": 32,
+            "unet_type": "alto",
+            "unet_kwargs": {"depth": 3, "start_filts": 8, "merge_mode": "concat"},
+        },
+        decoder_kwargs={"hidden_dim": 8, "output_size": 128},
+        z_scale=60.0,
+    )
+
+
+def _generate(cfg, tmp_path, mesh, tag):
+    ds = TomoSARDataset("vis", cfg["dataset"])
+    loader = PatchLoader(ds, batch_size=8,
+                         bucket_sizes=cfg["dataset"]["points"]["bucket_sizes"],
+                         fixed_bucket=cfg["dataset"]["points"]["train_bucket"])
+    model = _tiny_model()
+    sample = loader.collate([ds[0]])
+    params = model.init(jax.random.PRNGKey(0), sample["points"],
+                        sample["point_mask"], None)
+    gen = DSMGenerator(model, lambda: params, loader,
+                       dsm_pixel_size=[1.0, 1.0], half_blend_percent=[0.5, 0.5],
+                       use_cloud=True, use_image=False, mesh=mesh)
+    out = str(tmp_path / f"dsm_{tag}.tiff")
+    writer = gen.generate_dsm(out)
+    return writer.get_data()
+
+
+class TestShardedInference:
+    def test_eight_device_matches_single(self, city, tmp_path):
+        cfg, root = city
+        assert len(jax.devices()) >= 8
+        single = _generate(cfg, tmp_path, make_mesh(1), "single")
+        sharded = _generate(cfg, tmp_path, make_mesh(8), "sharded")
+        assert single.shape == sharded.shape
+        assert np.isfinite(single).all()
+        np.testing.assert_allclose(sharded, single, rtol=0, atol=1e-5)
+
+    def test_none_mesh_still_works(self, city, tmp_path):
+        cfg, root = city
+        data = _generate(cfg, tmp_path, None, "nomesh")
+        assert np.isfinite(data).all()
+
+    def test_batch_divisibility_asserted(self, city, tmp_path):
+        cfg, root = city
+        ds = TomoSARDataset("vis", cfg["dataset"])
+        loader = PatchLoader(ds, batch_size=3,
+                             bucket_sizes=cfg["dataset"]["points"]["bucket_sizes"])
+        model = _tiny_model()
+        with pytest.raises(AssertionError):
+            DSMGenerator(model, lambda: None, loader, dsm_pixel_size=[1.0, 1.0],
+                         use_cloud=True, use_image=False, mesh=make_mesh(8))

@@ -147,3 +147,58 @@ class TestCheckpointIO:
         out = io.load(path, resume_scheduler=False)
         assert sched.last_step == 1  # untouched
         assert out["n_iter"] == 1
+
+    def test_url_loading(self, tmp_path):
+        """http(s) checkpoint URLs download into the checkpoint dir and load
+        (reference io_checkpoint.py:78-88)."""
+        import http.server
+        import threading
+
+        import jax.numpy as jnp
+
+        src_dir = tmp_path / "remote"
+        src_dir.mkdir()
+        params = {"w": jnp.arange(3.0)}
+        CheckpointIO(str(src_dir), model=params).save(
+            str(src_dir / "model_url.ckpt"), n_iter=9)
+
+        handler = lambda *a, **kw: http.server.SimpleHTTPRequestHandler(
+            *a, directory=str(src_dir), **kw)
+        srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        try:
+            url = f"http://127.0.0.1:{srv.server_address[1]}/model_url.ckpt"
+            dst_dir = tmp_path / "local"
+            io2 = CheckpointIO(str(dst_dir), model={"w": jnp.zeros(3)})
+            scalars = io2.load(url)
+            assert scalars["n_iter"] == 9
+            np.testing.assert_array_equal(np.asarray(io2.module_dict["model"]["w"]),
+                                          np.arange(3.0))
+            assert (dst_dir / "model_url.ckpt").exists()  # cached
+            # second load hits the cache (server could be gone)
+            srv.shutdown()
+            scalars = io2.load(url)
+            assert scalars["n_iter"] == 9
+        finally:
+            srv.shutdown()
+
+
+class TestMetricLoggerWatch:
+    def test_watch_emits_param_norms(self, tmp_path):
+        import json
+
+        from tomosar2height_tpu.utils import MetricLogger
+
+        params = {"params": {"enc": {"w": np.ones((2, 2), np.float32)},
+                             "dec": {"b": np.full((4,), 3.0, np.float32)}}}
+        lg = MetricLogger().init("p", {}, "run", str(tmp_path))
+        lg.watch(lambda: params, log_freq=2)
+        lg.log({"loss": 1.0}, step=1)   # not a watch step
+        lg.log({"loss": 0.5}, step=2)   # watch step
+        lg.finish()
+        recs = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+        step1 = next(r for r in recs if r.get("_step") == 1)
+        step2 = next(r for r in recs if r.get("_step") == 2)
+        assert "watch/param_norm/enc" not in step1
+        assert step2["watch/param_norm/enc"] == pytest.approx(2.0)
+        assert step2["watch/param_norm/dec"] == pytest.approx(6.0)

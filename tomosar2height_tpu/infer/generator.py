@@ -8,6 +8,12 @@ GeoTIFF write.
 TPU re-design: patches run in *batches* through one jitted forward (the
 reference forces batch_size 1, generator.py:44); device compute is f32, the
 geo accumulation stays host-side float64 numpy (SURVEY.md §7 hard part 3).
+
+Multi-chip: batches shard over the mesh 'data' axis (SURVEY.md §2.3(b) —
+sliding-window patches are embarrassingly parallel), params replicate, and the
+host blends the gathered patch rasters. Device dispatch is async: each batch's
+forward is issued before the previous batch's host blend runs, overlapping
+TPU compute with the float64 stitch.
 """
 
 from __future__ import annotations
@@ -61,6 +67,7 @@ class DSMGenerator:
         crs_epsg: Optional[int] = 25832,
         use_cloud: bool = True,
         use_image: bool = True,
+        mesh=None,
     ):
         """
         Args:
@@ -69,6 +76,9 @@ class DSMGenerator:
                 generator always sees the live training params — reference
                 passes the mutable torch module instead).
             data_loader: PatchLoader over the 'vis'/'test' split (regular patching).
+            mesh: optional jax.sharding.Mesh; batches shard over its 'data'
+                axis (batch size must be divisible by the mesh size). None =
+                single-device.
         """
         self.model = model
         self.params_fn = params_fn
@@ -92,6 +102,11 @@ class DSMGenerator:
             (int(grid_shape[0]), int(grid_shape[1])), self.half_blend_percent
         )
 
+        self.mesh = mesh
+        if mesh is not None:
+            bs = data_loader.batch_size
+            assert bs % mesh.size == 0, (
+                f"batch size {bs} not divisible by mesh size {mesh.size}")
         self._forward = jax.jit(self._forward_impl)
 
     def _calculate_bounds(self, chunk_info_ls):
@@ -111,6 +126,43 @@ class DSMGenerator:
         # un-flip rows: model works y-up, raster is north-up (generator.py:147)
         return pa[..., 0][:, ::-1, :]
 
+    def _dispatch(self, params, batch):
+        """Issue one batch's forward (async); inputs shard over the mesh."""
+        dev = {k: batch[k] for k in ("points", "point_mask", "image",
+                                     "cell", "cell_offsets") if k in batch}
+        if self.mesh is not None:
+            from tomosar2height_tpu.parallel.mesh import shard_batch
+
+            dev = shard_batch(dev, self.mesh)
+        points = dev.get("points") if self.use_cloud else None
+        mask = dev.get("point_mask") if self.use_cloud else None
+        image = dev.get("image") if self.use_image else None
+        cells = dev.get("cell") if self.use_cloud else None
+        offsets = dev.get("cell_offsets") if self.use_cloud else None
+        return self._forward(params, points, mask, image, cells, offsets)
+
+    def _blend_batch(self, tiff_data, dsm_acc, weight_acc, h_dev, batch) -> int:
+        """Fetch a batch's patch rasters and blend-accumulate on host. Returns
+        the number of valid patches blended."""
+        from tomosar2height_tpu import native
+
+        h_grids = np.asarray(h_dev, dtype=np.float64)
+        pw = self.patch_weight
+        n_patches = 0
+        for i in range(h_grids.shape[0]):
+            if not batch["patch_valid"][i]:
+                continue
+            n_patches += 1
+            min_c = batch["min_bound"][i] + self.pixel_size / 2.0
+            max_c = batch["max_bound"][i] - self.pixel_size / 2.0
+            l_col, b_row = tiff_data.query_col_row(min_c[0], min_c[1])
+            r_col, t_row = tiff_data.query_col_row(max_c[0], max_c[1])
+            if not native.blend_accumulate(dsm_acc, weight_acc, h_grids[i], pw,
+                                           t_row, l_col):
+                dsm_acc[t_row:b_row + 1, l_col:r_col + 1] += h_grids[i] * pw
+                weight_acc[t_row:b_row + 1, l_col:r_col + 1] += pw
+        return n_patches
+
     def generate_dsm(self, save_to: str) -> RasterWriter:
         tiff_data = RasterData()
         tiff_data.set_transform(
@@ -122,37 +174,24 @@ class DSMGenerator:
 
         dsm_acc = np.zeros(self.dsm_shape, dtype=np.float64)
         weight_acc = np.zeros(self.dsm_shape, dtype=np.float64)
-        pw = self.patch_weight
         params = self.params_fn()
+        if self.mesh is not None:
+            from tomosar2height_tpu.parallel.mesh import replicate
+
+            params = replicate(params, self.mesh)
         start = time.time()
         n_patches = 0
 
+        # 1-deep pipeline: dispatch batch k+1's (async) device forward before
+        # blending batch k on host, overlapping TPU compute with the f64 stitch
+        pending = None
         for batch in self.data_loader:
-            points = batch["points"] if self.use_cloud else None
-            mask = batch["point_mask"] if self.use_cloud else None
-            image = batch.get("image") if self.use_image else None
-            cells = batch.get("cell") if self.use_cloud else None
-            offsets = batch.get("cell_offsets") if self.use_cloud else None
-            h_grids = np.asarray(
-                self._forward(params, points, mask, image, cells, offsets), dtype=np.float64
-            )
-
-            for i in range(h_grids.shape[0]):
-                if not batch["patch_valid"][i]:
-                    continue
-                n_patches += 1
-                min_bound = batch["min_bound"][i]
-                max_bound = batch["max_bound"][i]
-                min_c = min_bound + self.pixel_size / 2.0
-                max_c = max_bound - self.pixel_size / 2.0
-                l_col, b_row = tiff_data.query_col_row(min_c[0], min_c[1])
-                r_col, t_row = tiff_data.query_col_row(max_c[0], max_c[1])
-                from tomosar2height_tpu import native
-
-                if not native.blend_accumulate(dsm_acc, weight_acc, h_grids[i], pw,
-                                               t_row, l_col):
-                    dsm_acc[t_row:b_row + 1, l_col:r_col + 1] += h_grids[i] * pw
-                    weight_acc[t_row:b_row + 1, l_col:r_col + 1] += pw
+            h_dev = self._dispatch(params, batch)
+            if pending is not None:
+                n_patches += self._blend_batch(tiff_data, dsm_acc, weight_acc, *pending)
+            pending = (h_dev, batch)
+        if pending is not None:
+            n_patches += self._blend_batch(tiff_data, dsm_acc, weight_acc, *pending)
 
         with np.errstate(invalid="ignore", divide="ignore"):
             out = dsm_acc / weight_acc

@@ -53,9 +53,33 @@ class CheckpointIO:
             f.write(blob)
         os.replace(tmp, filename)
 
+    def _download_url(self, url: str) -> str:
+        """Fetch a checkpoint URL into the checkpoint dir (skip if cached)."""
+        import urllib.parse
+        import urllib.request
+
+        name = os.path.basename(urllib.parse.urlparse(url).path) or "model_url.ckpt"
+        dest = os.path.join(self.checkpoint_dir, name)
+        if os.path.exists(dest):
+            log.info("Using cached checkpoint for %s", url)
+            return dest
+        log.info("Downloading checkpoint from url: %s", url)
+        tmp = dest + ".tmp"
+        with urllib.request.urlopen(url) as r, open(tmp, "wb") as f:
+            f.write(r.read())
+        os.replace(tmp, dest)
+        return dest
+
     def load(self, filename: str, resume_scheduler: bool = True) -> Dict[str, Any]:
         """Load; updates registered pytrees in-place (returns the new values in
-        ``self.module_dict``) and returns the scalar dict."""
+        ``self.module_dict``) and returns the scalar dict.
+
+        ``filename`` may be an http(s) URL (reference io_checkpoint.py:78-88
+        ``load_url``): the file is downloaded into the checkpoint dir (cached
+        by basename) and loaded from there.
+        """
+        if filename and filename.startswith(("http://", "https://")):
+            filename = self._download_url(filename)
         if not filename or not os.path.exists(filename):
             raise FileNotFoundError(f"Checkpoint file {filename} not found.")
         log.info("Loading checkpoint from local file...")

@@ -39,6 +39,18 @@ class TrainState:
     params: Any
     opt_state: Any
     mini_step: jnp.ndarray  # accumulation counter (device scalar)
+    # on-device metric accumulator over the accumulation window:
+    # [loss, loss_l1, loss_ce, grad_norm, param_norm] — fetched to host ONCE
+    # per optimizer step (the reference fetches per mini-step, trainer.py:78-89;
+    # a per-mini-step device->host round trip defeats async dispatch on TPU)
+    metric_acc: jnp.ndarray
+
+
+METRIC_KEYS = ("loss", "loss_l1", "loss_ce", "grad_norm", "param_norm")
+
+
+def _global_norm(tree) -> jnp.ndarray:
+    return optax.global_norm(tree)
 
 
 def make_optimizer(optimize_every: int, weight_decay: float = 0.01):
@@ -83,6 +95,13 @@ class Trainer:
         self.use_footprint = use_footprint
         self.weight_ce = float(weight_ce)
         self.optimize_every = int(cfg_training["optimize_every"])
+        # 'mean': MultiSteps averages grads over the window (standard);
+        # 'sum': match the reference's accumulated loss.backward() exactly
+        # (64 summed per-patch grads, trainer.py:70,78) by scaling the mean
+        # back up by the window length.
+        self.grad_reduction = str(cfg_training.get("grad_reduction", "mean"))
+        if self.grad_reduction not in ("mean", "sum"):
+            raise ValueError(f"Invalid grad_reduction: {self.grad_reduction}")
         self.tx = make_optimizer(self.optimize_every)
         self.mesh = mesh if mesh is not None else make_mesh()
 
@@ -90,12 +109,13 @@ class Trainer:
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=donate_args)
         self._eval_step = jax.jit(self._eval_step_impl)
 
-        # host-side loss averaging over the accumulation window
-        # (reference trainer.py:78-89)
+        # host-side window bookkeeping; the metric values themselves live on
+        # device in TrainState.metric_acc (reference averages host-side,
+        # trainer.py:78-89)
         self.accumulated_steps = 0
-        self._acc = {"loss": 0.0, "loss_l1": 0.0, "loss_ce": 0.0}
         self.last_avg_loss = 0.0
-        self.last_avg_loss_dict = {"loss_ce": 0.0, "loss_l1": 0.0}
+        self.last_avg_loss_dict = {"loss_ce": 0.0, "loss_l1": 0.0,
+                                   "grad_norm": 0.0, "param_norm": 0.0}
 
     # -- state ------------------------------------------------------------------
 
@@ -108,6 +128,7 @@ class Trainer:
             params=params,
             opt_state=self.tx.init(params),
             mini_step=jnp.zeros((), jnp.int32),
+            metric_acc=jnp.zeros((len(METRIC_KEYS),), jnp.float32),
         )
         return replicate(state, self.mesh)
 
@@ -143,13 +164,21 @@ class Trainer:
         (_, metrics), grads = jax.value_and_grad(self._loss, has_aux=True)(
             state.params, batch
         )
+        grad_norm = _global_norm(grads)
+        if self.grad_reduction == "sum" and self.optimize_every > 1:
+            grads = jax.tree.map(lambda g: g * self.optimize_every, grads)
         updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
         updates = jax.tree.map(lambda u: u * lr, updates)
         new_params = optax.apply_updates(state.params, updates)
-        return (
-            TrainState(new_params, new_opt, state.mini_step + 1),
-            metrics,
-        )
+        # accumulate metrics on device; reset at each window start so the host
+        # only reads the accumulator once per optimizer step
+        step_vec = jnp.stack([
+            metrics["loss"], metrics["loss_l1"], metrics["loss_ce"],
+            grad_norm, _global_norm(state.params),
+        ]).astype(jnp.float32)
+        window_start = (state.mini_step % self.optimize_every) == 0
+        acc = jnp.where(window_start, 0.0, state.metric_acc) + step_vec
+        return TrainState(new_params, new_opt, state.mini_step + 1, acc)
 
     def _eval_step_impl(self, params, batch):
         _, metrics = self._loss(params, batch)
@@ -166,19 +195,16 @@ class Trainer:
 
     def train_step(self, state: TrainState, batch: Dict[str, np.ndarray], lr: float):
         """One mini-step (one device batch). Returns the new state; metric
-        averages publish to ``last_avg_loss*`` once per optimizer step."""
+        averages publish to ``last_avg_loss*`` once per optimizer step — the
+        only device->host fetch in the window (mini-steps dispatch async)."""
         batch = self._device_batch(batch)
-        state, metrics = self._train_step(state, batch, lr)
+        state = self._train_step(state, batch, lr)
         self.accumulated_steps += 1
-        for k in self._acc:
-            self._acc[k] += float(metrics[k])
         if self.accumulated_steps == self.optimize_every:
-            self.last_avg_loss = self._acc["loss"] / self.optimize_every
-            self.last_avg_loss_dict = {
-                "loss_l1": self._acc["loss_l1"] / self.optimize_every,
-                "loss_ce": self._acc["loss_ce"] / self.optimize_every,
-            }
-            self._acc = {k: 0.0 for k in self._acc}
+            acc = np.asarray(state.metric_acc) / self.optimize_every
+            vals = dict(zip(METRIC_KEYS, acc.tolist()))
+            self.last_avg_loss = vals.pop("loss")
+            self.last_avg_loss_dict = vals
             self.accumulated_steps = 0
         return state
 
@@ -188,13 +214,17 @@ class Trainer:
         return {k: float(v) for k, v in metrics.items()}
 
     def evaluate(self, state: TrainState, val_loader) -> Dict[str, float]:
+        """Validation averages weighted by VALID patches (a padded final batch
+        contributes its real patches only — the reference's per-batch average,
+        trainer.py:91-114, has no pad fillers because it runs bs=1)."""
         sums: Dict[str, float] = {}
         n = 0
         for batch in val_loader:
-            if not batch["patch_valid"].any():
+            n_valid = int(batch["patch_valid"].sum())
+            if n_valid == 0:
                 continue
             m = self.eval_step(state, batch)
             for k, v in m.items():
-                sums[k] = sums.get(k, 0.0) + v
-            n += 1
+                sums[k] = sums.get(k, 0.0) + v * n_valid
+            n += n_valid
         return {k: v / max(n, 1) for k, v in sums.items()}

@@ -42,6 +42,8 @@ class MetricLogger:
         self._file = None
         self._wandb = None
         self.enabled = False
+        self._watch_params_fn = None
+        self._watch_freq = 100
 
     def init(self, project: str, config: Dict[str, Any], name: str, dir: str,
              mode: str = "disabled"):
@@ -64,12 +66,42 @@ class MetricLogger:
                 logging.getLogger(__name__).warning("wandb requested but not installed; JSONL only")
         return self
 
-    def watch(self, *_args, **_kwargs):
-        pass
+    def watch(self, params_fn, log_freq: int = 100):
+        """Watch model parameters (reference train.py:94 ``wandb.watch(model)``).
+
+        ``params_fn`` is a zero-arg callable returning the live param pytree
+        (the flax analogue of watching a mutable torch module). Every
+        ``log_freq`` logged steps, per-top-level-module L2 param norms are
+        emitted as ``watch/param_norm/<module>`` records. Global grad/param
+        norms are computed inside the jitted train step (Trainer METRIC_KEYS)
+        and arrive through the regular ``log()`` stream.
+        """
+        self._watch_params_fn = params_fn
+        self._watch_freq = max(int(log_freq), 1)
+
+    def _watch_metrics(self, step: Optional[int]) -> Dict[str, float]:
+        if self._watch_params_fn is None or step is None or step % self._watch_freq:
+            return {}
+        import numpy as np
+
+        params = self._watch_params_fn()
+        if isinstance(params, dict) and set(params) == {"params"}:
+            params = params["params"]
+        out: Dict[str, float] = {}
+        for name, sub in (params.items() if isinstance(params, dict) else []):
+            sq = 0.0
+            for leaf in _tree_leaves(sub):
+                arr = np.asarray(leaf)
+                sq += float((arr.astype(np.float64) ** 2).sum())
+            out[f"watch/param_norm/{name}"] = sq ** 0.5
+        return out
 
     def log(self, metrics: Dict[str, Any], step: Optional[int] = None):
         if self._file is None:
             return
+        w = self._watch_metrics(step)
+        if w:
+            metrics = {**metrics, **w}
         rec = {"_step": step, "time": time.time()}
         rec.update(_jsonable(metrics))
         self._file.write(json.dumps(rec) + "\n")
@@ -83,6 +115,14 @@ class MetricLogger:
             self._file = None
         if self._wandb is not None:
             self._wandb.finish()
+
+
+def _tree_leaves(tree):
+    if isinstance(tree, dict):
+        for v in tree.values():
+            yield from _tree_leaves(v)
+    elif hasattr(tree, "shape"):
+        yield tree
 
 
 def _jsonable(obj):

@@ -85,6 +85,7 @@ def main(overrides=None):
     }
     buckets = cfg_dataset["points"]["bucket_sizes"]
     prefetch = cfg.select("dataloader.prefetch", 2)
+    n_workers = cfg.select("dataloader.n_workers", 0)
     # Optional Morton-sorted scatter-free device path (dataset.points.sort).
     # Benchmarked SLOWER than XLA scatter on TPU v5e (109 vs 74 ms/4-tile batch,
     # scripts/profile_paths.py) — off by default; kept for Pallas work.
@@ -93,7 +94,7 @@ def main(overrides=None):
                  and cfg["use_cloud"] and cfg["model"]["encoder"] == "pointnet_local_pool"
                  else None)
     common = dict(bucket_sizes=buckets, fixed_bucket=cfg_dataset["points"]["train_bucket"],
-                  sort_reso=sort_reso)
+                  sort_reso=sort_reso, n_workers=n_workers)
     loaders = {
         "train": PatchLoader(datasets["train"], cfg_training["batch_size"],
                              shuffle=True, drop_last=True, prefetch=prefetch, **common),
@@ -118,6 +119,9 @@ def main(overrides=None):
     state = trainer.init_state(jax.random.PRNGKey(0), sample_batch)
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree.leaves(state.params))
     log.info("Total model parameters: %d", n_params)
+    # reference train.py:94 wandb.watch(model): per-module param norms at
+    # print_every cadence (+ global grad/param norms from the jitted step)
+    wandb.watch(lambda: state.params, log_freq=cfg_training["print_every"])
 
     generator_dsm = DSMGenerator(
         model, lambda: state.params, loaders["vis"],
@@ -125,6 +129,7 @@ def main(overrides=None):
         half_blend_percent=cfg["dsm_generation"].get("half_blend_percent"),
         crs_epsg=cfg["dsm_generation"].get("crs_epsg"),
         use_cloud=cfg["use_cloud"], use_image=cfg["use_image"],
+        mesh=mesh,
     )
     evaluator = DSMEvaluator(
         cfg_dataset["dsm_gt_path"], None, {"building": cfg_dataset["mask_files"]["building"]}
@@ -138,7 +143,8 @@ def main(overrides=None):
             resume_scheduler=cfg_training.get("resume_scheduler", True),
         )
         state = TrainState(checkpoint_io.module_dict["model"],
-                           checkpoint_io.module_dict["optimizer"], state.mini_step)
+                           checkpoint_io.module_dict["optimizer"], state.mini_step,
+                           state.metric_acc)
         log.info("Resuming from previous checkpoint.")
     except FileNotFoundError:
         load_dict = {}
