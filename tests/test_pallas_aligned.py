@@ -1,0 +1,215 @@
+"""Golden tests for the chunk-aligned Morton tile kernels (interpret mode).
+
+The aligned layout (host_morton_bucket_aligned) + tile kernels replace the
+model's hottest gathers/scatters; these tests pin their numerics against the
+reference-parity XLA implementations (ops/sampling.py, ops/scatter.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from tomosar2height_tpu.ops.pallas.gather_kernel import CHUNK, pallas_tile_gather  # noqa: E402
+from tomosar2height_tpu.ops.pallas.scatter_kernel import (  # noqa: E402
+    pallas_aligned_scatter_mean_plane,
+)
+from tomosar2height_tpu.ops.sampling import grid_sample_2d  # noqa: E402
+from tomosar2height_tpu.ops.scatter import scatter_mean_to_plane  # noqa: E402
+from tomosar2height_tpu.ops.sorted_scatter import (  # noqa: E402
+    PAD_CELL_SENTINEL,
+    aligned_bucket_size,
+    host_morton_bucket_aligned,
+)
+
+
+def make_aligned_batch(b=2, n=1000, reso=64, seed=0, frac_masked=0.1):
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform(0.001, 0.999, (b, n, 3)).astype(np.float32)
+    mask = rng.random((b, n)) > frac_masked
+    npad = aligned_bucket_size(n, reso, CHUNK)
+    out = {
+        "points": np.zeros((b, npad, 3), np.float32),
+        "mask": np.zeros((b, npad), bool),
+        "cells": np.zeros((b, npad), np.int32),
+        "tile_offsets": None,
+    }
+    toffs = []
+    for i in range(b):
+        a = host_morton_bucket_aligned(pts[i], mask[i], reso, CHUNK)
+        out["points"][i] = a["points"]
+        out["mask"][i] = a["mask"]
+        out["cells"][i] = a["cells"]
+        toffs.append(a["tile_offsets"])
+    out["tile_offsets"] = np.stack(toffs)
+    return pts, mask, out
+
+
+class TestAlignedLayout:
+    def test_layout_contract(self):
+        pts, mask, a = make_aligned_batch(b=1, n=777, reso=64, seed=3)
+        toff = a["tile_offsets"][0]
+        assert toff[0] == 0 and (np.diff(toff) >= 0).all()
+        assert (toff % CHUNK == 0).all()
+        # every real point survives exactly once, grouped by tile
+        assert a["mask"][0].sum() == mask[0].sum()
+        cells = a["cells"][0]
+        real = cells < 64 * 64
+        assert real.sum() == mask[0].sum()
+        # within each tile range, real rows are Morton-sorted and in-tile
+        for t in range(len(toff) - 1):
+            seg = cells[toff[t]:toff[t + 1]]
+            seg = seg[seg < 64 * 64]
+            assert (np.diff(seg) >= 0).all()
+            assert ((seg // 256) == t).all()
+        # padding rows carry the sentinel
+        assert (cells[~real] == PAD_CELL_SENTINEL).all()
+
+    def test_preserves_point_set(self):
+        pts, mask, a = make_aligned_batch(b=1, n=500, reso=32, seed=1)
+        got = a["points"][0][a["mask"][0]]
+        want = pts[0][mask[0]]
+        assert np.allclose(np.sort(got.ravel()), np.sort(want.ravel()))
+
+
+class TestAlignedScatter:
+    @pytest.mark.parametrize("reso,finest", [(64, 64), (32, 64), (16, 64)])
+    def test_matches_xla_scatter_mean(self, reso, finest):
+        pts, mask, a = make_aligned_batch(b=2, n=900, reso=finest, seed=7)
+        npad = a["points"].shape[1]
+        rng = np.random.default_rng(11)
+        vals = rng.normal(size=(2, npad, 32)).astype(np.float32)
+        vals[~a["mask"]] = 1e9  # junk on padding rows must not leak
+
+        level = int(finest).bit_length() - int(reso).bit_length()
+        toff = a["tile_offsets"][:, :: 4 ** level]
+        cells_chunked = a["cells"].reshape(2, npad // CHUNK, CHUNK)
+        got = pallas_aligned_scatter_mean_plane(
+            jnp.asarray(vals), jnp.asarray(cells_chunked), jnp.asarray(toff),
+            reso, finest, interpret=True)
+
+        want = scatter_mean_to_plane(
+            jnp.asarray(a["points"][..., :2]), jnp.asarray(vals), reso,
+            jnp.asarray(a["mask"]))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_empty_batch_entry(self):
+        reso = 32
+        pts, mask, a = make_aligned_batch(b=1, n=100, reso=reso, seed=2,
+                                          frac_masked=1.1)  # all masked
+        npad = a["points"].shape[1]
+        vals = np.full((1, npad, 8), 3.0, np.float32)
+        got = pallas_aligned_scatter_mean_plane(
+            jnp.asarray(vals), jnp.asarray(a["cells"].reshape(1, -1, CHUNK)),
+            jnp.asarray(a["tile_offsets"]), reso, reso, interpret=True)
+        assert np.asarray(got).sum() == 0.0
+
+
+class TestTileGather:
+    @pytest.mark.parametrize("reso,finest", [(64, 64), (32, 64)])
+    def test_matches_grid_sample(self, reso, finest):
+        pts, mask, a = make_aligned_batch(b=2, n=800, reso=finest, seed=5)
+        npad = a["points"].shape[1]
+        rng = np.random.default_rng(13)
+        plane = rng.normal(size=(2, reso, reso, 32)).astype(np.float32)
+
+        aux = np.zeros((2, npad, 8), np.float32)
+        aux[..., :2] = a["points"][..., :2]
+        level = int(finest).bit_length() - int(reso).bit_length()
+        toff = a["tile_offsets"][:, :: 4 ** level]
+        got = pallas_tile_gather(jnp.asarray(plane), jnp.asarray(aux),
+                                 jnp.asarray(toff), reso, interpret=True)
+        want = grid_sample_2d(jnp.asarray(plane), jnp.asarray(a["points"][..., :2]))
+        m = a["mask"]
+        np.testing.assert_allclose(np.asarray(got)[m], np.asarray(want)[m],
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_gather_grad_matches_xla(self):
+        """tile_gather custom_vjp (dplane) == autodiff of grid_sample_2d."""
+        from tomosar2height_tpu.ops.pallas.fused import make_aux, tile_gather
+
+        reso = 32
+        pts, mask, a = make_aligned_batch(b=1, n=300, reso=reso, seed=21)
+        npad = a["points"].shape[1]
+        rng = np.random.default_rng(23)
+        plane = jnp.asarray(rng.normal(size=(1, reso, reso, 16)).astype(np.float32))
+        aux = make_aux(jnp.asarray(a["points"][..., :2]))
+        m = jnp.asarray(a["mask"])
+        toff = jnp.asarray(a["tile_offsets"])[None] if a["tile_offsets"].ndim == 1 \
+            else jnp.asarray(a["tile_offsets"])
+
+        cot = jnp.asarray(rng.normal(size=(1, npad, 16)).astype(np.float32))
+
+        def f_kernel(p):
+            # interpret path: call the underlying vjp pieces directly
+            return (tile_gather(p, aux, m, toff, reso) * cot).sum()
+
+        def f_ref(p):
+            s = grid_sample_2d(p, jnp.asarray(a["points"][None] if a["points"].ndim == 2
+                                              else a["points"])[..., :2])
+            s = jnp.where(m[..., None], s, 0)
+            return (s * cot).sum()
+
+        # run on CPU: pallas interpret engages automatically off-TPU? No —
+        # tile_gather calls the compiled kernel; on CPU backends this test
+        # only checks the BWD rule, so compare grads of the reference fwd
+        # against the custom bwd applied to the same cotangent.
+        from tomosar2height_tpu.ops.pallas.fused import _tile_gather_bwd
+
+        dplane_ref = jax.grad(f_ref)(plane)
+        dplane_got, _, _, _ = _tile_gather_bwd(
+            reso, (plane, aux, m), cot)
+        np.testing.assert_allclose(np.asarray(dplane_got), np.asarray(dplane_ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_scatter_grad_matches_xla(self):
+        """tile_scatter_mean custom bwd == autodiff of the masked segment mean."""
+        from tomosar2height_tpu.ops.pallas.fused import _tile_scatter_bwd
+
+        reso = finest = 32
+        pts, mask, a = make_aligned_batch(b=2, n=400, reso=reso, seed=31)
+        npad = a["points"].shape[1]
+        rng = np.random.default_rng(33)
+        vals = jnp.asarray(rng.normal(size=(2, npad, 8)).astype(np.float32))
+        cot = jnp.asarray(rng.normal(size=(2, reso, reso, 8)).astype(np.float32))
+        m = jnp.asarray(a["mask"])
+
+        def f_ref(v):
+            plane = scatter_mean_to_plane(jnp.asarray(a["points"][..., :2]), v,
+                                          reso, m)
+            return (plane * cot).sum()
+
+        dv_ref = jax.grad(f_ref)(vals)
+        cells_chunked = jnp.asarray(a["cells"].reshape(2, npad // CHUNK, CHUNK))
+        dv_got, _, _ = _tile_scatter_bwd(
+            reso, finest, (cells_chunked, vals.shape, vals.dtype), cot)
+        got, ref = np.asarray(dv_got), np.asarray(dv_ref)
+        np.testing.assert_allclose(got[np.asarray(m)], ref[np.asarray(m)],
+                                   rtol=1e-5, atol=1e-5)
+        assert np.abs(got[~np.asarray(m)]).max() == 0.0
+
+    def test_border_points(self):
+        """Coords at/over the border clamp like grid_sample border mode."""
+        reso = 32
+        n = 200
+        rng = np.random.default_rng(17)
+        pts = rng.uniform(0, 1, (1, n, 3)).astype(np.float32)
+        pts[0, :50, 0] = rng.uniform(0.0, 0.01, 50)    # left edge
+        pts[0, 50:100, 1] = rng.uniform(0.99, 0.9999, 50)  # top edge
+        mask = np.ones((1, n), bool)
+        a = host_morton_bucket_aligned(pts[0], mask[0], reso, CHUNK)
+        npad = a["points"].shape[0]
+        plane = rng.normal(size=(1, reso, reso, 16)).astype(np.float32)
+        aux = np.zeros((1, npad, 8), np.float32)
+        aux[0, :, :2] = a["points"][:, :2]
+        got = pallas_tile_gather(jnp.asarray(plane), jnp.asarray(aux),
+                                 jnp.asarray(a["tile_offsets"])[None], reso,
+                                 interpret=True)
+        want = grid_sample_2d(jnp.asarray(plane), jnp.asarray(a["points"][None, :, :2]))
+        m = a["mask"][None]
+        np.testing.assert_allclose(np.asarray(got)[m], np.asarray(want)[m],
+                                   rtol=1e-5, atol=1e-5)

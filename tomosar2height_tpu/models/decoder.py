@@ -17,7 +17,13 @@ from tomosar2height_tpu.ops.resize import resize_bilinear
 
 class ConvDecoder(nn.Module):
     """conv3x3 chain 32->64->128->64 + 1x1 over the dense concat (288 ch)
-    (reference pixel.py:8-32)."""
+    (reference pixel.py:8-32).
+
+    Mixed-precision policy: the trunk convs run in ``dtype`` (bf16 under the
+    fast policy) but the final 1x1 head always computes in float32 — the
+    output is a height in [-0.5, 0.5] z-units scaled by ~190 m, and bf16's
+    ~2^-8 relative resolution would quantize it to ~0.4 m steps.
+    """
 
     out_channels: int = 1
     leaky: bool = False
@@ -26,13 +32,13 @@ class ConvDecoder(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         act = nn.leaky_relu if self.leaky else nn.relu
-        conv = lambda f, k, n: nn.Conv(f, (k, k), padding="SAME", kernel_init=kernel_init,
-                                       dtype=self.dtype, name=n)
-        x1 = act(conv(64, 3, "conv1")(x))
-        x2 = act(conv(128, 3, "conv2")(x1))
-        x3 = act(conv(64, 3, "conv3")(x2))
+        conv = lambda f, k, n, dt: nn.Conv(f, (k, k), padding="SAME",
+                                           kernel_init=kernel_init, dtype=dt, name=n)
+        x1 = act(conv(64, 3, "conv1", self.dtype)(x))
+        x2 = act(conv(128, 3, "conv2", self.dtype)(x1))
+        x3 = act(conv(64, 3, "conv3", self.dtype)(x2))
         cat = jnp.concatenate([x, x1, x2, x3], axis=-1)
-        return conv(self.out_channels, 1, "conv4")(cat)
+        return conv(self.out_channels, 1, "conv4", jnp.float32)(cat.astype(jnp.float32))
 
 
 class FCDecoder(nn.Module):
@@ -48,8 +54,9 @@ class FCDecoder(nn.Module):
         act = nn.leaky_relu if self.leaky else nn.relu
         for i in range(self.n_blocks):
             x = ResnetBlockFC(dtype=self.dtype, name=f"block{i}")(x)
-        return nn.Dense(self.out_channels, kernel_init=kernel_init, dtype=self.dtype,
-                        name="fc_out")(act(x))
+        # f32 head: see ConvDecoder's mixed-precision note
+        return nn.Dense(self.out_channels, kernel_init=kernel_init, dtype=jnp.float32,
+                        name="fc_out")(act(x).astype(jnp.float32))
 
 
 class PixelwiseDecoder(nn.Module):

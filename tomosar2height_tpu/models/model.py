@@ -103,7 +103,13 @@ class TomoSAR2Height(nn.Module):
 
         dec = PixelwiseDecoder(dtype=self.dtype, name="decoder", **dict(self.decoder_kwargs or {}))
         pa, pb = dec(feature_planes)
-        return pa * jnp.asarray(self.z_scale, pa.dtype), pb
+        # outputs are f32 regardless of the compute dtype: the decoders' final
+        # heads run in f32 (decoder.py mixed-precision note) and the z-rescale
+        # to meters must not round-trip through bf16
+        pa = pa.astype(jnp.float32) * jnp.float32(self.z_scale)
+        if pb is not None:
+            pb = pb.astype(jnp.float32)
+        return pa, pb
 
 
 def build_model(cfg) -> TomoSAR2Height:

@@ -234,6 +234,160 @@ def pallas_scatter_mean_plane(
     return out[..., :c]
 
 
+ACHUNK = 64  # aligned-layout chunk quantum (matches gather_kernel.CHUNK)
+
+
+def _aligned_scatter_kernel(
+    toff_ref,    # scalar-prefetch: (B, T+1) int32 chunk-aligned tile offsets
+    values_ref,  # HBM: (B, Npad, F)
+    cells_ref,   # HBM: (B, NC, ACHUNK) int32 finest Morton ids (row per chunk)
+    perm_ref,    # VMEM: (TILE_CELLS, TILE_CELLS) Morton->row-major one-hot
+    out_ref,     # VMEM block: (1, TILE_SIDE, TILE_SIDE, F)
+    acc_ref,     # VMEM scratch: (TILE_CELLS, F) f32
+    cnt_ref,     # VMEM scratch: (TILE_CELLS, 1) f32
+    vchunk,      # VMEM scratch: (2, ACHUNK, F)
+    cchunk,      # VMEM scratch: (2, 1, ACHUNK) int32
+    sem_v,       # DMA sems (2,)
+    sem_c,       # DMA sems (2,)
+    *,
+    level_shift: int,
+    f32_precision: bool,
+):
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    start = toff_ref[b, t]
+    end = toff_ref[b, t + 1]
+    k0 = start // ACHUNK
+    k1 = end // ACHUNK
+
+    acc_ref[:] = jnp.zeros_like(acc_ref)
+    cnt_ref[:] = jnp.zeros_like(cnt_ref)
+
+    tile_base = t * TILE_CELLS
+    # one-hot TRANSPOSE built directly: M[j, i] = (local cell of point i == j)
+    # with cells in the lane dim and the cell iota in the sublane dim — no
+    # transpose op, and the cell DMA is ACHUNK ints instead of a LANE-wide
+    # broadcast (the r01 kernel moved 128x the bytes here)
+    cell_iota = jax.lax.broadcasted_iota(jnp.int32, (TILE_CELLS, ACHUNK), 0)
+
+    def dma(k, slot):
+        return (
+            pltpu.make_async_copy(values_ref.at[b, pl.ds(k * ACHUNK, ACHUNK), :],
+                                  vchunk.at[slot], sem_v.at[slot]),
+            pltpu.make_async_copy(cells_ref.at[b, k, :].reshape(1, ACHUNK),
+                                  cchunk.at[slot], sem_c.at[slot]),
+        )
+
+    @pl.when(k0 < k1)
+    def _():
+        for d in dma(k0, k0 % 2):
+            d.start()
+
+    prec = jax.lax.Precision.HIGHEST if f32_precision else jax.lax.Precision.DEFAULT
+
+    def body(k, _):
+        slot = k % 2
+
+        @pl.when(k + 1 < k1)
+        def _():
+            for d in dma(k + 1, (k + 1) % 2):
+                d.start()
+
+        for d in dma(k, slot):
+            d.wait()
+        local = (cchunk[slot] >> level_shift) - tile_base  # (1, ACHUNK)
+        m = (local == cell_iota).astype(vchunk.dtype)      # (TILE_CELLS, ACHUNK)
+        acc_ref[:] += jax.lax.dot_general(
+            m, vchunk[slot],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+        cnt_ref[:] += jnp.sum(m.astype(jnp.float32), axis=1)[:, None]
+        return 0
+
+    jax.lax.fori_loop(k0, k1, body, 0)
+    mean = acc_ref[:] / jnp.maximum(cnt_ref[:], 1.0)
+    row_major = jax.lax.dot_general(
+        perm_ref[:], mean, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[0] = row_major.reshape(TILE_SIDE, TILE_SIDE, -1).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("reso", "finest", "interpret"))
+def pallas_aligned_scatter_mean_plane(
+    values: jnp.ndarray,
+    cells_chunked: jnp.ndarray,
+    tile_offsets: jnp.ndarray,
+    reso: int,
+    finest: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Chunk-aligned Morton scatter-mean to a row-major NHWC plane.
+
+    The fast path for the ALTO point->grid transfers (reference alto.py:76-88):
+    inputs follow host_morton_bucket_aligned's layout contract — every tile of
+    TILE_CELLS cells owns a chunk-aligned point range. Padding rows carry
+    PAD_CELL_SENTINEL, whose local id never matches a tile cell, so they (and
+    any stray value bits) reduce to exact zeros.
+
+    Args:
+        values: (B, Npad, F) float, aligned-layout point features.
+        cells_chunked: (B, Npad // ACHUNK, ACHUNK) int32 finest Morton ids.
+        tile_offsets: (B, ntiles + 1) int32 offsets at THIS reso (coarsened).
+        reso: output plane resolution.
+        finest: resolution the Morton ids were computed at.
+
+    Returns:
+        (B, reso, reso, F) plane; empty cells are 0.
+    """
+    b, npad, f = values.shape
+    assert npad % ACHUNK == 0 and cells_chunked.shape[1] * ACHUNK == npad
+    n_tiles = (reso * reso) // TILE_CELLS
+    assert tile_offsets.shape[-1] == n_tiles + 1
+    side_tiles = reso // TILE_SIDE
+    bits = side_tiles.bit_length() - 1
+    level_shift = 2 * (int(finest).bit_length() - int(reso).bit_length())
+
+    def out_index(b_, t_, *_):
+        ty = _deinterleave_bits(t_, bits, 1)
+        tx = _deinterleave_bits(t_, bits, 0)
+        return (b_, ty, tx, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((TILE_CELLS, TILE_CELLS), lambda b_, t_, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TILE_SIDE, TILE_SIDE, f), out_index,
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((TILE_CELLS, f), jnp.float32),
+            pltpu.VMEM((TILE_CELLS, 1), jnp.float32),
+            pltpu.VMEM((2, ACHUNK, f), values.dtype),
+            pltpu.VMEM((2, 1, ACHUNK), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _aligned_scatter_kernel,
+        level_shift=level_shift,
+        f32_precision=values.dtype == jnp.float32,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, reso, reso, f), values.dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(tile_offsets, values, cells_chunked, jnp.asarray(_TILE_PERM_MAT, values.dtype))
+
+
 @functools.partial(jax.jit, static_argnames=("reso", "interpret"))
 def pallas_scatter_mean(
     values: jnp.ndarray,

@@ -69,6 +69,91 @@ def host_morton_bucket(points: np.ndarray, mask: np.ndarray, reso: int):
     return order, code_sorted.astype(np.int32), offsets
 
 
+PAD_CELL_SENTINEL = np.int32(1 << 30)
+"""Cell id assigned to padding rows in the aligned layout: large enough that
+``(sentinel >> 2*level) - tile_base`` never lands in a tile's [0, 256) local
+range at any pyramid level (level <= 6, tile_base < 2**16)."""
+
+
+def aligned_bucket_size(bucket: int, reso: int, chunk: int = 64,
+                        tile_cells: int = 256) -> int:
+    """Static point-array length of the chunk-aligned Morton layout.
+
+    Every tile's padded range adds < chunk rows, so bucket + ntiles*chunk always
+    fits; the constant size keeps XLA programs cacheable across patches.
+    """
+    ntiles = (reso * reso) // tile_cells
+    return ((bucket + chunk - 1) // chunk) * chunk + ntiles * chunk
+
+
+def host_morton_bucket_aligned(
+    points: np.ndarray,
+    mask: np.ndarray,
+    reso: int,
+    chunk: int = 64,
+    tile_cells: int = 256,
+):
+    """Morton-sort points and pad every tile's point run to a CHUNK multiple.
+
+    The chunk-aligned layout is the input contract of the fused Pallas tile
+    kernels (ops/pallas/gather_kernel.py, scatter_kernel.py): each Morton tile
+    of ``tile_cells`` cells owns a contiguous, chunk-aligned row range, so tile
+    grid steps DMA whole chunks with no inter-tile row sharing (writes never
+    collide) and one-hot rows never need masking.
+
+    Args:
+        points: (N, 3) float32 normalized to [0, 1].
+        mask: (N,) bool validity.
+        reso: finest plane resolution (power of two).
+        chunk: row-alignment quantum (the kernels' inner matmul chunk).
+        tile_cells: cells per Morton tile (16x16 spatial block).
+
+    Returns:
+        dict with
+          points  (Npad, 3) f32 — tile-grouped, chunk-aligned (pad rows 0.5),
+          mask    (Npad,) bool — False on all padding rows,
+          cells   (Npad,) int32 — finest Morton ids; PAD_CELL_SENTINEL on pads,
+          tile_offsets (ntiles + 1,) int32 — chunk-multiple row offsets,
+        where Npad == aligned_bucket_size(len(points), reso, chunk).
+    """
+    n = points.shape[0]
+    order, code_sorted, offsets = host_morton_bucket(points, mask, reso)
+    ntiles = (reso * reso) // tile_cells
+    npad = aligned_bucket_size(n, reso, chunk, tile_cells)
+
+    tile_off = offsets[::tile_cells].astype(np.int64)  # (ntiles + 1,)
+    counts = np.diff(tile_off)
+    padded = ((counts + chunk - 1) // chunk) * chunk
+    astarts = np.zeros(ntiles + 1, dtype=np.int64)
+    np.cumsum(padded, out=astarts[1:])
+    assert astarts[-1] <= npad
+
+    # dst[i] = aligned position of sorted point i (vectorized per-tile shift)
+    src_valid = int(tile_off[-1])  # real points (padding sorted past last cell)
+    tile_of_sorted = np.searchsorted(tile_off, np.arange(src_valid), side="right") - 1
+    dst = np.arange(src_valid) + (astarts[:-1] - tile_off[:-1])[tile_of_sorted]
+
+    out_pts = np.full((npad, 3), 0.5, dtype=np.float32)
+    out_mask = np.zeros((npad,), dtype=bool)
+    out_cells = np.full((npad,), PAD_CELL_SENTINEL, dtype=np.int32)
+    out_pts[dst] = points[order[:src_valid]]
+    out_mask[dst] = True
+    out_cells[dst] = code_sorted[:src_valid]
+    return {
+        "points": out_pts,
+        "mask": out_mask,
+        "cells": out_cells,
+        "tile_offsets": astarts.astype(np.int32),
+    }
+
+
+def coarsen_tile_offsets(tile_offsets: jnp.ndarray, levels: int) -> jnp.ndarray:
+    """Tile offsets for a 2^levels-coarser plane: stride-4^levels subsample
+    (a coarse tile is the union of 4^levels consecutive fine Morton tiles, so
+    chunk alignment is preserved)."""
+    return tile_offsets[..., :: 4 ** levels]
+
+
 def coarsen_offsets(offsets: jnp.ndarray, levels: int) -> jnp.ndarray:
     """Offsets for a 2^levels-coarser resolution: stride-4^levels subsample
     (Morton parents cover contiguous child ranges)."""
