@@ -90,7 +90,7 @@ def e2e_bench(batch: int = 4, dtype: str = "float32", iters: int = 3,
 
 def main(batch: int = 4, n_points: int = 16384, iters: int = 20, train: bool = False,
          dtype: str = "float32", scan: int = 0, sorted_path: bool = False,
-         e2e: bool = False):
+         e2e: bool = False, fused: bool = False):
     if e2e:
         stats = e2e_bench(batch, dtype, sorted_path=sorted_path)
         print(json.dumps({
@@ -118,8 +118,30 @@ def main(batch: int = 4, n_points: int = 16384, iters: int = 20, train: bool = F
     rng = np.random.default_rng(0)
     pts_np = rng.uniform(0.001, 0.999, (batch, n_points, 3)).astype(np.float32)
     mask_np = np.ones((batch, n_points), dtype=bool)
-    if sorted_path:  # Morton-sorted alternative (slower on v5e; kept for A/B)
-        RESO = 256
+    RESO = 256
+    if fused:  # chunk-aligned Morton layout + Pallas tile kernels
+        from tomosar2height_tpu.ops.pallas.gather_kernel import CHUNK
+        from tomosar2height_tpu.ops.sorted_scatter import (
+            aligned_bucket_size,
+            host_morton_bucket_aligned,
+        )
+
+        ek = dict(model.encoder_kwargs)
+        ek["sorted_impl"] = "fused"
+        model = model.clone(encoder_kwargs=ek)
+        npad = aligned_bucket_size(n_points, RESO, CHUNK)
+        apts = np.full((batch, npad, 3), 0.5, np.float32)
+        amask = np.zeros((batch, npad), bool)
+        acell = np.zeros((batch, npad), np.int32)
+        atoff = np.zeros((batch, RESO * RESO // 256 + 1), np.int32)
+        for i in range(batch):
+            a = host_morton_bucket_aligned(pts_np[i], mask_np[i], RESO, CHUNK)
+            apts[i], amask[i], acell[i], atoff[i] = (
+                a["points"], a["mask"], a["cells"], a["tile_offsets"])
+        pts_np, mask_np = apts, amask
+        cells = jnp.asarray(acell)
+        offsets = jnp.asarray(atoff)
+    elif sorted_path:  # Morton-sorted alternative (r01 path; kept for A/B)
         cells_np = np.empty((batch, n_points), np.int32)
         offs_np = np.empty((batch, RESO * RESO + 1), np.int32)
         for i in range(batch):
@@ -226,5 +248,8 @@ if __name__ == "__main__":
     ap.add_argument("--e2e", action="store_true",
                     help="end-to-end serving bench: loader + device + f64 "
                          "blend + GeoTIFF write on the synthetic city")
+    ap.add_argument("--fused", action="store_true",
+                    help="chunk-aligned Morton layout + Pallas tile kernels")
     a = ap.parse_args()
-    main(a.batch, a.points, a.iters, a.train, a.dtype, a.scan, a.sorted, a.e2e)
+    main(a.batch, a.points, a.iters, a.train, a.dtype, a.scan, a.sorted, a.e2e,
+         a.fused)

@@ -53,6 +53,8 @@ def main(overrides=None):
                          cfg_dataset["points"]["bucket_sizes"],
                          fixed_bucket=cfg_dataset["points"]["train_bucket"],
                          sort_reso=sort_reso,
+                         aligned=cfg.select("model.encoder_kwargs.sorted_impl",
+                                            "cumsum") == "fused",
                          prefetch=cfg.select("dataloader.prefetch", 2),
                          n_workers=cfg.select("dataloader.n_workers", 0))
     log.info("Dataset path: '%s'", cfg_dataset["path"])

@@ -109,6 +109,56 @@ class TestAlignedScatter:
         assert np.asarray(got).sum() == 0.0
 
 
+class TestTilePool:
+    @pytest.mark.parametrize("kind", ["max", "mean"])
+    def test_matches_xla_pool_local(self, kind):
+        from tomosar2height_tpu.ops.pallas.pool_kernel import pallas_tile_pool
+        from tomosar2height_tpu.ops.scatter import pool_local_max, pool_local_mean
+
+        reso = 64
+        pts, mask, a = make_aligned_batch(b=2, n=900, reso=reso, seed=41)
+        npad = a["points"].shape[1]
+        rng = np.random.default_rng(43)
+        vals = rng.normal(size=(2, npad, 24)).astype(np.float32)
+        vals[~a["mask"]] = -1e9 if kind == "max" else 1e9  # junk must not leak
+
+        cells_chunked = jnp.asarray(a["cells"].reshape(2, npad // CHUNK, CHUNK))
+        got = pallas_tile_pool(jnp.asarray(vals), cells_chunked,
+                               jnp.asarray(a["tile_offsets"]), kind,
+                               interpret=True)
+
+        from tomosar2height_tpu.ops.scatter import cell_index
+
+        idx = cell_index(jnp.asarray(a["points"][..., :2]), reso)
+        ref_fn = pool_local_max if kind == "max" else pool_local_mean
+        want = ref_fn(jnp.asarray(vals), idx, reso, jnp.asarray(a["mask"]))
+        m = a["mask"]
+        np.testing.assert_allclose(np.asarray(got)[m], np.asarray(want)[m],
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_max_bf16_ids_exact(self):
+        """bf16 path: within-tile ids stay exact, runs never merge wrongly."""
+        from tomosar2height_tpu.ops.pallas.pool_kernel import pallas_tile_pool
+        from tomosar2height_tpu.ops.scatter import cell_index, pool_local_max
+
+        reso = 32
+        pts, mask, a = make_aligned_batch(b=1, n=600, reso=reso, seed=47)
+        npad = a["points"].shape[1]
+        rng = np.random.default_rng(48)
+        vals = jnp.asarray(rng.normal(size=(1, npad, 8)).astype(np.float32),
+                           jnp.bfloat16)
+        cells_chunked = jnp.asarray(a["cells"].reshape(1, npad // CHUNK, CHUNK))
+        got = pallas_tile_pool(vals, cells_chunked,
+                               jnp.asarray(a["tile_offsets"]), "max",
+                               interpret=True)
+        idx = cell_index(jnp.asarray(a["points"][..., :2]), reso)
+        want = pool_local_max(vals, idx, reso, jnp.asarray(a["mask"]))
+        m = a["mask"]
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32)[m], np.asarray(want, np.float32)[m],
+            rtol=1e-2, atol=1e-2)
+
+
 class TestTileGather:
     @pytest.mark.parametrize("reso,finest", [(64, 64), (32, 64)])
     def test_matches_grid_sample(self, reso, finest):
@@ -117,11 +167,12 @@ class TestTileGather:
         rng = np.random.default_rng(13)
         plane = rng.normal(size=(2, reso, reso, 32)).astype(np.float32)
 
-        aux = np.zeros((2, npad, 8), np.float32)
-        aux[..., :2] = a["points"][..., :2]
+        from tomosar2height_tpu.ops.pallas.fused import make_aux
+
+        ax, ay = make_aux(jnp.asarray(a["points"][..., :2]))
         level = int(finest).bit_length() - int(reso).bit_length()
         toff = a["tile_offsets"][:, :: 4 ** level]
-        got = pallas_tile_gather(jnp.asarray(plane), jnp.asarray(aux),
+        got = pallas_tile_gather(jnp.asarray(plane), ax, ay,
                                  jnp.asarray(toff), reso, interpret=True)
         want = grid_sample_2d(jnp.asarray(plane), jnp.asarray(a["points"][..., :2]))
         m = a["mask"]
@@ -137,16 +188,13 @@ class TestTileGather:
         npad = a["points"].shape[1]
         rng = np.random.default_rng(23)
         plane = jnp.asarray(rng.normal(size=(1, reso, reso, 16)).astype(np.float32))
-        aux = make_aux(jnp.asarray(a["points"][..., :2]))
+        ax, ay = make_aux(jnp.asarray(a["points"][..., :2]))
         m = jnp.asarray(a["mask"])
         toff = jnp.asarray(a["tile_offsets"])[None] if a["tile_offsets"].ndim == 1 \
             else jnp.asarray(a["tile_offsets"])
 
         cot = jnp.asarray(rng.normal(size=(1, npad, 16)).astype(np.float32))
 
-        def f_kernel(p):
-            # interpret path: call the underlying vjp pieces directly
-            return (tile_gather(p, aux, m, toff, reso) * cot).sum()
 
         def f_ref(p):
             s = grid_sample_2d(p, jnp.asarray(a["points"][None] if a["points"].ndim == 2
@@ -161,8 +209,8 @@ class TestTileGather:
         from tomosar2height_tpu.ops.pallas.fused import _tile_gather_bwd
 
         dplane_ref = jax.grad(f_ref)(plane)
-        dplane_got, _, _, _ = _tile_gather_bwd(
-            reso, (plane, aux, m), cot)
+        dplane_got, _, _, _, _ = _tile_gather_bwd(
+            reso, (plane, ax, ay, m), cot)
         np.testing.assert_allclose(np.asarray(dplane_got), np.asarray(dplane_ref),
                                    rtol=1e-5, atol=1e-5)
 
@@ -185,8 +233,7 @@ class TestTileGather:
 
         dv_ref = jax.grad(f_ref)(vals)
         cells_chunked = jnp.asarray(a["cells"].reshape(2, npad // CHUNK, CHUNK))
-        dv_got, _, _ = _tile_scatter_bwd(
-            reso, finest, (cells_chunked, vals.shape, vals.dtype), cot)
+        dv_got, _, _ = _tile_scatter_bwd(reso, finest, cells_chunked, cot)
         got, ref = np.asarray(dv_got), np.asarray(dv_ref)
         np.testing.assert_allclose(got[np.asarray(m)], ref[np.asarray(m)],
                                    rtol=1e-5, atol=1e-5)
@@ -204,9 +251,10 @@ class TestTileGather:
         a = host_morton_bucket_aligned(pts[0], mask[0], reso, CHUNK)
         npad = a["points"].shape[0]
         plane = rng.normal(size=(1, reso, reso, 16)).astype(np.float32)
-        aux = np.zeros((1, npad, 8), np.float32)
-        aux[0, :, :2] = a["points"][:, :2]
-        got = pallas_tile_gather(jnp.asarray(plane), jnp.asarray(aux),
+        from tomosar2height_tpu.ops.pallas.fused import make_aux
+
+        ax, ay = make_aux(jnp.asarray(a["points"][None, :, :2]))
+        got = pallas_tile_gather(jnp.asarray(plane), ax, ay,
                                  jnp.asarray(a["tile_offsets"])[None], reso,
                                  interpret=True)
         want = grid_sample_2d(jnp.asarray(plane), jnp.asarray(a["points"][None, :, :2]))

@@ -77,6 +77,7 @@ class PatchLoader:
         prefetch: int = 0,
         sort_reso: Optional[int] = None,
         n_workers: int = 0,
+        aligned: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = int(batch_size)
@@ -93,6 +94,10 @@ class PatchLoader:
         # resolution and batches carry 'cell'/'cell_offsets' for the device's
         # scatter-free segmented reductions (ops/sorted_scatter.py)
         self.sort_reso = int(sort_reso) if sort_reso else None
+        # chunk-aligned Morton layout for the fused Pallas tile kernels
+        # (ops/sorted_scatter.py:host_morton_bucket_aligned): 'cell_offsets'
+        # then carries CHUNK-multiple TILE offsets instead of per-cell offsets
+        self.aligned = bool(aligned) and self.sort_reso is not None
         # parallel patch fetch (reference train.py:80-84 uses 8 DataLoader
         # worker processes; dataset.__getitem__ is numpy + GIL-releasing C++
         # fast paths, so threads suffice here)
@@ -211,13 +216,27 @@ class PatchLoader:
                 self.overflow_patches += 1
                 self.overflow_points += cnt - bucket
 
-        points = np.zeros((bsz, bucket, 3), dtype=np.float32)
-        point_mask = np.zeros((bsz, bucket), dtype=bool)
+        if self.aligned:
+            from tomosar2height_tpu.ops.pallas.gather_kernel import CHUNK
+            from tomosar2height_tpu.ops.sorted_scatter import (
+                PAD_CELL_SENTINEL,
+                aligned_bucket_size,
+            )
+
+            npad = aligned_bucket_size(bucket, self.sort_reso, CHUNK)
+            ntiles = (self.sort_reso * self.sort_reso) // 256
+            points = np.full((bsz, npad, 3), 0.5, dtype=np.float32)
+            point_mask = np.zeros((bsz, npad), dtype=bool)
+            cells = np.full((bsz, npad), PAD_CELL_SENTINEL, dtype=np.int32)
+            offsets = np.zeros((bsz, ntiles + 1), dtype=np.int32)
+        else:
+            points = np.zeros((bsz, bucket, 3), dtype=np.float32)
+            point_mask = np.zeros((bsz, bucket), dtype=bool)
+            if self.sort_reso:
+                ncell = self.sort_reso * self.sort_reso
+                cells = np.full((bsz, bucket), ncell, dtype=np.int32)
+                offsets = np.zeros((bsz, ncell + 1), dtype=np.int32)
         patch_valid = np.zeros((bsz,), dtype=bool)
-        if self.sort_reso:
-            ncell = self.sort_reso * self.sort_reso
-            cells = np.full((bsz, bucket), ncell, dtype=np.int32)
-            offsets = np.zeros((bsz, ncell + 1), dtype=np.int32)
         dsm = None
         image = None
         min_bound = np.zeros((bsz, 2), dtype=np.float64)
@@ -231,15 +250,29 @@ class PatchLoader:
             if not p["is_valid"]:
                 continue
             patch_valid[i] = True
-            points[i], point_mask[i] = pad_points(p["inputs"], bucket, rng)
-            if self.sort_reso:
+            if self.aligned:
+                from tomosar2height_tpu.ops.pallas.gather_kernel import CHUNK
+                from tomosar2height_tpu.ops.sorted_scatter import (
+                    host_morton_bucket_aligned,
+                )
+
+                pts_i, mask_i = pad_points(p["inputs"], bucket, rng)
+                a = host_morton_bucket_aligned(pts_i, mask_i, self.sort_reso, CHUNK)
+                points[i] = a["points"]
+                point_mask[i] = a["mask"]
+                cells[i] = a["cells"]
+                offsets[i] = a["tile_offsets"]
+            elif self.sort_reso:
                 from tomosar2height_tpu.ops.sorted_scatter import host_morton_bucket
 
+                points[i], point_mask[i] = pad_points(p["inputs"], bucket, rng)
                 order, cell, off = host_morton_bucket(points[i], point_mask[i], self.sort_reso)
                 points[i] = points[i][order]
                 point_mask[i] = point_mask[i][order]
                 cells[i] = cell
                 offsets[i] = off
+            else:
+                points[i], point_mask[i] = pad_points(p["inputs"], bucket, rng)
             if "dsm" in p:
                 if dsm is None:
                     dsm = np.zeros((bsz,) + p["dsm"].shape, dtype=np.float32)

@@ -39,12 +39,19 @@ def _scatter_plane(xy, c, reso, mask, cell_cache):
     """scatter_mean point features into a (reso, reso) NHWC plane
     (reference alto.py:76-88).
 
-    Fast path: when the batch carries Morton-sorted cell metadata
-    (``cell_cache['offsets']``/``['cells']`` at ``['finest']`` resolution),
-    the reduction is scatter-free: the Pallas one-hot-matmul kernel or a
-    cumsum+gather chain (``cell_cache['impl']``). Coarser levels reuse the
-    finest sort: offsets stride-subsampled, Morton ids bit-truncated.
+    Fast paths: with chunk-aligned metadata (``cell_cache['impl'] == 'fused'``)
+    the Pallas tile kernel runs (one-hot-transpose matmuls, ops/pallas); with
+    plain Morton-sorted metadata the cumsum/gather chain or the r01 kernel
+    runs. Coarser levels reuse the finest sort: offsets stride-subsampled,
+    Morton ids bit-truncated.
     """
+    if cell_cache.get("impl") == "fused":
+        from tomosar2height_tpu.ops.pallas.fused import tile_scatter_mean
+
+        finest = cell_cache["finest"]
+        level = int(finest).bit_length() - int(reso).bit_length()
+        toff = cell_cache["tile_offsets"][:, :: 4 ** level]
+        return tile_scatter_mean(c, cell_cache["cells_chunked"], toff, reso, finest)
     offsets = cell_cache.get("offsets")
     if offsets is not None:
         finest = cell_cache["finest"]
@@ -62,6 +69,23 @@ def _scatter_plane(xy, c, reso, mask, cell_cache):
     plane = segment_mean(c, idx, reso * reso, mask)
     b = c.shape[0]
     return plane.reshape(b, reso, reso, c.shape[-1])
+
+
+def _sample_plane(x, xy, mask, cell_cache, mode):
+    """Bilinear plane sampling at point coords (reference alto.py:90-95).
+
+    With chunk-aligned metadata the Pallas tile-window gather runs instead of
+    the XLA 4-corner gather (~13x fewer device-microseconds at 256^2)."""
+    reso = x.shape[1]
+    if cell_cache.get("impl") == "fused" and mode == "bilinear" and reso >= 32:
+        from tomosar2height_tpu.ops.pallas.fused import tile_gather
+
+        finest = cell_cache["finest"]
+        level = int(finest).bit_length() - int(reso).bit_length()
+        toff = cell_cache["tile_offsets"][:, :: 4 ** level]
+        return tile_gather(x, cell_cache["aux_x"], cell_cache["aux_y"],
+                           mask, toff, reso)
+    return grid_sample_2d(x, xy, mode=mode)
 
 
 class AltoDownConv(nn.Module):

@@ -72,11 +72,29 @@ class LocalPoolPointnet(nn.Module):
         reso = self.plane_resolution
         xy = points[..., :2]
         use_sorted = cells is not None and offsets is not None
+        fused = use_sorted and self.sorted_impl == "fused"
 
         if self.scatter_type not in ("max", "mean"):
             raise ValueError(f"Invalid scatter type: {self.scatter_type}")
 
-        if use_sorted:
+        if fused:
+            # chunk-aligned layout: `offsets` carries CHUNK-multiple TILE
+            # offsets (host_morton_bucket_aligned), cells are finest Morton ids
+            # with PAD_CELL_SENTINEL on padding rows
+            from tomosar2height_tpu.ops.pallas.fused import (
+                chunk_cells,
+                make_aux,
+                tile_pool,
+                tile_scatter_mean,
+            )
+
+            aux_x, aux_y = make_aux(xy)
+            cells_chunked = chunk_cells(cells)
+
+            def pool_fn(values):
+                return tile_pool(values, cells_chunked, offsets, mask, reso,
+                                 self.scatter_type)
+        elif use_sorted:
             def pool_fn(values):
                 if self.scatter_type == "max":
                     # XLA segment_max on the Morton ids: measured faster than a
@@ -107,17 +125,23 @@ class LocalPoolPointnet(nn.Module):
         net = nn.Dense(self.feature_dim, kernel_init=kernel_init, dtype=self.dtype,
                        name="fc_c")(net)
 
-        if use_sorted:
+        if fused:
+            plane = tile_scatter_mean(net, cells_chunked, offsets, reso, reso)
+        elif use_sorted:
             plane = scatter_mean_plane_morton(net, offsets, cells, reso, self.sorted_impl)
         else:
             plane = segment_mean(net, index, reso * reso, mask)
             plane = plane.reshape(points.shape[0], reso, reso, self.feature_dim)
 
         unet_kwargs = dict(self.unet_kwargs or {})
-        buckets = (
-            {"offsets": offsets, "cells": cells, "impl": self.sorted_impl}
-            if use_sorted else None
-        )
+        if fused:
+            buckets = {"impl": "fused", "tile_offsets": offsets,
+                       "cells_chunked": cells_chunked, "aux_x": aux_x,
+                       "aux_y": aux_y}
+        elif use_sorted:
+            buckets = {"offsets": offsets, "cells": cells, "impl": self.sorted_impl}
+        else:
+            buckets = None
         if self.unet_type == "unet":
             fea = UNet(self.feature_dim, dtype=self.dtype, name="unet", **unet_kwargs)(plane)
         elif self.unet_type == "alto":

@@ -25,9 +25,15 @@ from tomosar2height_tpu.ops.pallas.scatter_kernel import (
 )
 
 
-def make_aux(xy: jnp.ndarray) -> jnp.ndarray:
-    """(B, N, 2) normalized coords -> (B, N, 8) kernel aux lanes."""
-    return jnp.pad(xy.astype(jnp.float32), ((0, 0), (0, 0), (0, 6)))
+def make_aux(xy: jnp.ndarray):
+    """(B, Npad, 2) normalized coords -> (aux_x, aux_y) chunk rows
+    (B, Npad/CHUNK, CHUNK) f32 — the gather kernel's lane-packed layout."""
+    from tomosar2height_tpu.ops.pallas.gather_kernel import CHUNK
+
+    b, npad, _ = xy.shape
+    ax = xy[..., 0].astype(jnp.float32).reshape(b, npad // CHUNK, CHUNK)
+    ay = xy[..., 1].astype(jnp.float32).reshape(b, npad // CHUNK, CHUNK)
+    return ax, ay
 
 
 def chunk_cells(cells: jnp.ndarray) -> jnp.ndarray:
@@ -39,33 +45,85 @@ def chunk_cells(cells: jnp.ndarray) -> jnp.ndarray:
 # --- bilinear tile gather (grid_sample fast path) ---------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def tile_gather(plane, aux, mask, tile_offsets, reso):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def tile_gather(plane, aux_x, aux_y, mask, tile_offsets, reso):
     """Bilinear-sample ``plane`` at aligned point coords; masked rows are 0.
 
     Differentiable in ``plane`` (coords/mask are data). Forward = Pallas
     kernel; backward = transpose of the bilinear weights via the XLA
     grid_sample implementation's vjp.
     """
-    out = pallas_tile_gather(plane, aux, tile_offsets, reso)
+    out = pallas_tile_gather(plane, aux_x, aux_y, tile_offsets, reso)
     return jnp.where(mask[..., None], out, 0).astype(plane.dtype)
 
 
-def _tile_gather_fwd(plane, aux, mask, tile_offsets, reso):
-    return tile_gather(plane, aux, mask, tile_offsets, reso), (plane, aux, mask)
+def _tile_gather_fwd(plane, aux_x, aux_y, mask, tile_offsets, reso):
+    out = tile_gather(plane, aux_x, aux_y, mask, tile_offsets, reso)
+    return out, (plane, aux_x, aux_y, mask)
 
 
 def _tile_gather_bwd(reso, res, g):
     from tomosar2height_tpu.ops.sampling import grid_sample_2d
 
-    plane, aux, mask = res
+    plane, aux_x, aux_y, mask = res
+    b = plane.shape[0]
+    xy = jnp.stack([aux_x.reshape(b, -1), aux_y.reshape(b, -1)], axis=-1)
     g = jnp.where(mask[..., None], g, 0)
-    _, vjp = jax.vjp(lambda p: grid_sample_2d(p, aux[..., :2].astype(p.dtype)), plane)
+    _, vjp = jax.vjp(lambda p: grid_sample_2d(p, xy.astype(p.dtype)), plane)
     (dplane,) = vjp(g.astype(plane.dtype))
-    return dplane, None, None, None
+    return dplane, None, None, None, None
 
 
 tile_gather.defvjp(_tile_gather_fwd, _tile_gather_bwd)
+
+
+# --- fused local pooling (pool_local fast path) -----------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def tile_pool(values, cells_chunked, tile_offsets, mask, reso, kind):
+    """Per-cell ``kind``-reduce + per-point gather-back (pool_local,
+    reference pointnet.py:92-99) on the aligned layout; masked rows are 0.
+
+    Forward = the fused Pallas kernel; backward = the vjp of the XLA
+    segment-op expression (for 'max' the subgradient routes to XLA's argmax
+    choice, which may differ from the kernel's on exact ties).
+    """
+    from tomosar2height_tpu.ops.pallas.pool_kernel import pallas_tile_pool
+
+    out = pallas_tile_pool(values, cells_chunked, tile_offsets, kind)
+    return jnp.where(mask[..., None], out, 0).astype(values.dtype)
+
+
+def _pool_ref(values, cells_chunked, mask, reso, kind):
+    from tomosar2height_tpu.ops.scatter import segment_max, segment_mean
+    from tomosar2height_tpu.ops.sorted_scatter import gather_cells_sorted
+
+    b, nc, ac = cells_chunked.shape
+    cells = cells_chunked.reshape(b, nc * ac)
+    ncell = reso * reso
+    if kind == "max":
+        pooled = segment_max(values, cells, ncell, mask)
+    else:
+        pooled = segment_mean(values, cells, ncell, mask)
+    out = gather_cells_sorted(pooled, cells)
+    return jnp.where(mask[..., None], out, 0)
+
+
+def _tile_pool_fwd(values, cells_chunked, tile_offsets, mask, reso, kind):
+    out = tile_pool(values, cells_chunked, tile_offsets, mask, reso, kind)
+    return out, (values, cells_chunked, mask)
+
+
+def _tile_pool_bwd(reso, kind, res, g):
+    values, cells_chunked, mask = res
+    _, vjp = jax.vjp(lambda v: _pool_ref(v, cells_chunked, mask, reso, kind),
+                     values)
+    (dv,) = vjp(g.astype(values.dtype))
+    return dv, None, None, None
+
+
+tile_pool.defvjp(_tile_pool_fwd, _tile_pool_bwd)
 
 
 # --- scatter-mean to plane (torch_scatter fast path) ------------------------------
@@ -85,12 +143,13 @@ def tile_scatter_mean(values, cells_chunked, tile_offsets, reso, finest):
 
 def _tile_scatter_fwd(values, cells_chunked, tile_offsets, reso, finest):
     out = tile_scatter_mean(values, cells_chunked, tile_offsets, reso, finest)
-    return out, (cells_chunked, values.shape, values.dtype)
+    return out, cells_chunked
 
 
-def _tile_scatter_bwd(reso, finest, res, g):
-    cells_chunked, vshape, vdtype = res
-    b, npad, f = vshape
+def _tile_scatter_bwd(reso, finest, cells_chunked, g):
+    b, nc, ac = cells_chunked.shape
+    npad = nc * ac
+    vdtype = g.dtype  # values and plane share the compute dtype
     ncell = reso * reso
     shift = 2 * (int(finest).bit_length() - int(reso).bit_length())
     cells = cells_chunked.reshape(b, npad)

@@ -234,7 +234,9 @@ def pallas_scatter_mean_plane(
     return out[..., :c]
 
 
-ACHUNK = 64  # aligned-layout chunk quantum (matches gather_kernel.CHUNK)
+ACHUNK = 128  # aligned-layout chunk quantum (matches gather_kernel.CHUNK);
+# also the Mosaic HBM lane rule: manually-DMA'd tensors need 128-multiple
+# minor dims, which ACHUNK-wide cell rows and lane-padded values satisfy
 
 
 def _aligned_scatter_kernel(
@@ -274,7 +276,7 @@ def _aligned_scatter_kernel(
         return (
             pltpu.make_async_copy(values_ref.at[b, pl.ds(k * ACHUNK, ACHUNK), :],
                                   vchunk.at[slot], sem_v.at[slot]),
-            pltpu.make_async_copy(cells_ref.at[b, k, :].reshape(1, ACHUNK),
+            pltpu.make_async_copy(cells_ref.at[b, pl.ds(k, 1), :],
                                   cchunk.at[slot], sem_c.at[slot]),
         )
 
@@ -310,13 +312,12 @@ def _aligned_scatter_kernel(
     mean = acc_ref[:] / jnp.maximum(cnt_ref[:], 1.0)
     row_major = jax.lax.dot_general(
         perm_ref[:], mean, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32, precision=prec,
     )
     out_ref[0] = row_major.reshape(TILE_SIDE, TILE_SIDE, -1).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("reso", "finest", "interpret"))
-def pallas_aligned_scatter_mean_plane(
+def _aligned_scatter_mean_plane_impl(
     values: jnp.ndarray,
     cells_chunked: jnp.ndarray,
     tile_offsets: jnp.ndarray,
@@ -349,6 +350,9 @@ def pallas_aligned_scatter_mean_plane(
     side_tiles = reso // TILE_SIDE
     bits = side_tiles.bit_length() - 1
     level_shift = 2 * (int(finest).bit_length() - int(reso).bit_length())
+    fp = ((f + LANE - 1) // LANE) * LANE
+    if fp != f:  # Mosaic lane rule for the manual value DMAs
+        values = jnp.pad(values, ((0, 0), (0, 0), (0, fp - f)))
 
     def out_index(b_, t_, *_):
         ty = _deinterleave_bits(t_, bits, 1)
@@ -364,12 +368,12 @@ def pallas_aligned_scatter_mean_plane(
             pl.BlockSpec((TILE_CELLS, TILE_CELLS), lambda b_, t_, *_: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TILE_SIDE, TILE_SIDE, f), out_index,
+        out_specs=pl.BlockSpec((1, TILE_SIDE, TILE_SIDE, fp), out_index,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((TILE_CELLS, f), jnp.float32),
+            pltpu.VMEM((TILE_CELLS, fp), jnp.float32),
             pltpu.VMEM((TILE_CELLS, 1), jnp.float32),
-            pltpu.VMEM((2, ACHUNK, f), values.dtype),
+            pltpu.VMEM((2, ACHUNK, fp), values.dtype),
             pltpu.VMEM((2, 1, ACHUNK), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -380,12 +384,13 @@ def pallas_aligned_scatter_mean_plane(
         level_shift=level_shift,
         f32_precision=values.dtype == jnp.float32,
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((b, reso, reso, f), values.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, reso, reso, fp), values.dtype),
         grid_spec=grid_spec,
         interpret=interpret,
     )(tile_offsets, values, cells_chunked, jnp.asarray(_TILE_PERM_MAT, values.dtype))
+    return out[..., :f]
 
 
 @functools.partial(jax.jit, static_argnames=("reso", "interpret"))
@@ -453,3 +458,21 @@ def pallas_scatter_mean(
         interpret=interpret,
     )(tile_offsets, values_p, cells_wide)
     return out.reshape(b, ncell, cp)[..., :c]
+
+
+@functools.partial(jax.jit, static_argnames=("reso", "finest", "interpret"))
+def _aligned_scatter_jit(values, cells_chunked, tile_offsets, reso, finest,
+                         interpret):
+    return _aligned_scatter_mean_plane_impl(values, cells_chunked, tile_offsets,
+                                            reso, finest, interpret)
+
+
+def pallas_aligned_scatter_mean_plane(values, cells_chunked, tile_offsets,
+                                      reso: int, finest: int,
+                                      interpret: bool | None = None):
+    """Public entry; off-TPU backends run the kernel in interpret mode so CPU
+    tests exercise the identical program (slow but exact)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _aligned_scatter_jit(values, cells_chunked, tile_offsets, reso,
+                                finest, interpret)

@@ -75,7 +75,7 @@ PAD_CELL_SENTINEL = np.int32(1 << 30)
 range at any pyramid level (level <= 6, tile_base < 2**16)."""
 
 
-def aligned_bucket_size(bucket: int, reso: int, chunk: int = 64,
+def aligned_bucket_size(bucket: int, reso: int, chunk: int = 128,
                         tile_cells: int = 256) -> int:
     """Static point-array length of the chunk-aligned Morton layout.
 
@@ -90,7 +90,7 @@ def host_morton_bucket_aligned(
     points: np.ndarray,
     mask: np.ndarray,
     reso: int,
-    chunk: int = 64,
+    chunk: int = 128,
     tile_cells: int = 256,
 ):
     """Morton-sort points and pad every tile's point run to a CHUNK multiple.

@@ -86,15 +86,16 @@ def main(overrides=None):
     buckets = cfg_dataset["points"]["bucket_sizes"]
     prefetch = cfg.select("dataloader.prefetch", 2)
     n_workers = cfg.select("dataloader.n_workers", 0)
-    # Optional Morton-sorted scatter-free device path (dataset.points.sort).
-    # Benchmarked SLOWER than XLA scatter on TPU v5e (109 vs 74 ms/4-tile batch,
-    # scripts/profile_paths.py) — off by default; kept for Pallas work.
+    # Optional Morton-sorted device paths (dataset.points.sort):
+    # sorted_impl='fused' ships the chunk-aligned layout for the Pallas tile
+    # kernels (the fast path); 'cumsum'/'pallas' keep the r01 per-cell offsets.
     sort_reso = (cfg.select("model.encoder_kwargs.plane_resolution")
                  if cfg.select("dataset.points.sort", False)
                  and cfg["use_cloud"] and cfg["model"]["encoder"] == "pointnet_local_pool"
                  else None)
+    aligned = cfg.select("model.encoder_kwargs.sorted_impl", "cumsum") == "fused"
     common = dict(bucket_sizes=buckets, fixed_bucket=cfg_dataset["points"]["train_bucket"],
-                  sort_reso=sort_reso, n_workers=n_workers)
+                  sort_reso=sort_reso, aligned=aligned, n_workers=n_workers)
     loaders = {
         "train": PatchLoader(datasets["train"], cfg_training["batch_size"],
                              shuffle=True, drop_last=True, prefetch=prefetch, **common),
