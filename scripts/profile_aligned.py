@@ -66,6 +66,14 @@ def main(batch=4, n=16384, finest=256, c=32, reps=16, check=True, dtype="float32
               lambda ff, cc, t: pallas_aligned_scatter_mean_plane(
                   ff, cc, t, reso, finest).sum(),
               feats, cch, toff_l, reps=reps)
+        from tomosar2height_tpu.ops.pallas.scatter_kernel import (
+            pallas_scatter_mean_plane_v3,
+        )
+        if reso >= 32:
+            timed(f"PALLAS scatter_v3 {reso}^2 x{f}",
+                  lambda ff, cc, t: pallas_scatter_mean_plane_v3(
+                      ff, cc, t, reso, finest).sum(),
+                  feats, cch, atoff, reps=reps)
         from tomosar2height_tpu.ops.pallas.pool_kernel import pallas_tile_pool
         if reso == finest:
             timed(f"PALLAS tile_pool max {reso}^2 x{f}",

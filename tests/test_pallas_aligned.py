@@ -97,6 +97,28 @@ class TestAlignedScatter:
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-5, atol=1e-5)
 
+    @pytest.mark.parametrize("reso,finest", [(64, 64), (32, 64)])
+    def test_v3_matches_xla_scatter_mean(self, reso, finest):
+        from tomosar2height_tpu.ops.pallas.scatter_kernel import (
+            pallas_scatter_mean_plane_v3,
+        )
+
+        pts, mask, a = make_aligned_batch(b=2, n=900, reso=finest, seed=7)
+        npad = a["points"].shape[1]
+        rng = np.random.default_rng(11)
+        vals = rng.normal(size=(2, npad, 32)).astype(np.float32)
+        vals[~a["mask"]] = 1e9
+
+        cells_chunked = a["cells"].reshape(2, npad // CHUNK, CHUNK)
+        got = pallas_scatter_mean_plane_v3(
+            jnp.asarray(vals), jnp.asarray(cells_chunked),
+            jnp.asarray(a["tile_offsets"]), reso, finest, interpret=True)
+        want = scatter_mean_to_plane(
+            jnp.asarray(a["points"][..., :2]), jnp.asarray(vals), reso,
+            jnp.asarray(a["mask"]))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
     def test_empty_batch_entry(self):
         reso = 32
         pts, mask, a = make_aligned_batch(b=1, n=100, reso=reso, seed=2,

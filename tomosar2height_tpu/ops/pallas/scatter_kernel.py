@@ -460,6 +460,181 @@ def pallas_scatter_mean(
     return out.reshape(b, ncell, cp)[..., :c]
 
 
+# --- v3: one fat DMA per tile, ids ride as an f32 value lane ---------------------
+#
+# The v2 kernel is latency-bound (~2 us per 128-row chunk: 2 DMA round trips +
+# a small matmul). v3 restructures for fat steps:
+# - the wrapper upcasts values to f32 and appends the GLOBAL Morton id as a
+#   feature lane (f32 is exact to 2^24, so over-reading a neighbor tile's rows
+#   is safe: their local id never lands in [0, TILE_CELLS));
+# - each tile is covered by WROWS(512)-row windows from its chunk-aligned
+#   start — ~1 window per tile — with ONE DMA each;
+# - the one-hot is built against a row-major-PERMUTED cell constant (Morton id
+#   of the row-major cell index, bit-ops on an iota), so the accumulator comes
+#   out row-major and the 256x256 permutation matmul disappears;
+# - counts come from a ones-vector matmul (no lane->sublane transpose);
+# - 4 Morton-sibling tiles share one grid step (static inner loop), quartering
+#   the per-step machinery; their out sub-blocks tile the (1, 32, 32, Fp) step
+#   output block.
+
+V3_WROWS = 512      # rows per window DMA
+V3_GROUP = 4        # Morton-sibling tiles per grid step
+
+
+def _rm_morton_row(bits4: int = 4):
+    """(1, TILE_CELLS) int32: Morton id of each row-major in-tile cell."""
+    j = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_CELLS), 1)
+    y = j >> bits4
+    x = j & (TILE_SIDE - 1)
+    m = j * 0
+    for b in range(bits4):
+        m = m | (((x >> b) & 1) << (2 * b)) | (((y >> b) & 1) << (2 * b + 1))
+    return m
+
+
+def _scatter_v3_kernel(
+    toff_ref,    # scalar-prefetch: (B, T+1) int32 (finest-tile granularity)
+    vext_ref,    # HBM: (B, Npad, Fp) f32 — lane id_lane = global Morton id
+    out_ref,     # VMEM block: (1, 2*TILE_SIDE, 2*TILE_SIDE, Fp)
+    acc_ref,     # VMEM scratch: (TILE_CELLS, Fp) f32 (row-major cells)
+    win_ref,     # VMEM scratch: (2, V3_WROWS, Fp) f32
+    sem_v,       # DMA sems: (2,)
+    *,
+    id_lane: int,
+    level_shift: int,
+    n_batch: int,
+):
+    b = pl.program_id(0)
+    g = pl.program_id(1)
+    ng = pl.num_programs(1)
+    rm_morton = _rm_morton_row()
+    ones = jnp.ones((V3_WROWS, 1), jnp.float32)
+
+    # window w of tile q in group gg starts at toff[4*gg+q] + w*V3_WROWS;
+    # windows are tile-START-aligned (chunk-aligned), over-read is masked
+    def win_dma(bb, gg, q, w, slot):
+        # offsets are CHUNK(128)-multiples by the layout contract; Mosaic
+        # needs the hint to prove 8-divisibility of the row slice
+        start = pl.multiple_of(toff_ref[bb, gg * V3_GROUP + q], 128)
+        return pltpu.make_async_copy(
+            vext_ref.at[bb, pl.ds(start + w * V3_WROWS, V3_WROWS), :],
+            win_ref.at[slot], sem_v.at[slot])
+
+    for q in range(V3_GROUP):
+        # Morton sibling order within the group: (y, x) = (q>>1, q&1)
+        sub_y = (q >> 1) * TILE_SIDE
+        sub_x = (q & 1) * TILE_SIDE
+        t = g * V3_GROUP + q
+        start = toff_ref[b, t]
+        end = toff_ref[b, t + 1]
+        nw = jnp.maximum(0, pl.cdiv(end - start, V3_WROWS))
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        @pl.when(nw > 0)
+        def _():
+            win_dma(b, g, q, 0, 0).start()
+
+        def body(w, cnt_carry):
+            slot = w % 2
+
+            @pl.when(w + 1 < nw)
+            def _():
+                win_dma(b, g, q, w + 1, (w + 1) % 2).start()
+
+            win_dma(b, g, q, w, slot).wait()
+            vw = win_ref[slot]
+            ids = vw[:, id_lane:id_lane + 1]  # (V3_WROWS, 1) f32 global ids
+            # cell at this reso = morton >> level_shift (exact f32 divide,
+            # ids >= 0); over-read rows (neighbor tiles, pad sentinel, and the
+            # zero tail — only the last tile can reach it, local goes
+            # negative) never land in [0, TILE_CELLS)
+            local = (ids / (1 << level_shift)).astype(jnp.int32) - t * TILE_CELLS
+            onehot = (local == rm_morton).astype(jnp.float32)  # (W, 256)
+            acc_ref[:] += jax.lax.dot_general(
+                onehot, vw, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            cnt = jax.lax.dot_general(
+                onehot, ones, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return cnt_carry + cnt
+
+        cnt = jax.lax.fori_loop(0, nw, body, jnp.zeros((TILE_CELLS, 1),
+                                                       jnp.float32))
+        mean = acc_ref[:] / jnp.maximum(cnt, 1.0)
+        out_ref[0, sub_y:sub_y + TILE_SIDE, sub_x:sub_x + TILE_SIDE, :] = (
+            mean.reshape(TILE_SIDE, TILE_SIDE, -1).astype(out_ref.dtype))
+
+
+def _scatter_v3_impl(values_ext, tile_offsets, reso, finest, id_lane,
+                     interpret):
+    b, npad, fp = values_ext.shape
+    assert fp % LANE == 0 and npad % V3_WROWS == 0
+    n_tiles = (reso * reso) // TILE_CELLS
+    n_groups = max(n_tiles // V3_GROUP, 1)
+    assert n_groups * V3_GROUP == n_tiles, "reso must give >= 4 tiles"
+    side_g = reso // (2 * TILE_SIDE)
+    bits = side_g.bit_length() - 1
+    level_shift = 2 * (int(finest).bit_length() - int(reso).bit_length())
+
+    def out_index(b_, g_, *_):
+        gy = _deinterleave_bits(g_, bits, 1)
+        gx = _deinterleave_bits(g_, bits, 0)
+        return (b_, gy, gx, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, n_groups),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec((1, 2 * TILE_SIDE, 2 * TILE_SIDE, fp),
+                               out_index, memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((TILE_CELLS, fp), jnp.float32),
+            pltpu.VMEM((2, V3_WROWS, fp), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _scatter_v3_kernel, id_lane=id_lane, level_shift=level_shift,
+        n_batch=b)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, reso, reso, fp), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(tile_offsets, values_ext)
+
+
+@functools.partial(jax.jit, static_argnames=("reso", "finest", "interpret"))
+def _scatter_v3_jit(values, cells_chunked, tile_offsets, reso, finest,
+                    interpret):
+    b, npad, f = values.shape
+    cells = cells_chunked.reshape(b, npad)
+    # global Morton id as an f32 lane (exact <= 2^24; pad sentinel stays huge)
+    ids = jnp.minimum(cells, jnp.int32(1 << 24)).astype(jnp.float32)
+    ext = jnp.concatenate([values.astype(jnp.float32), ids[..., None]],
+                          axis=-1)
+    fp = ((ext.shape[-1] + LANE - 1) // LANE) * LANE
+    if fp != ext.shape[-1]:
+        ext = jnp.pad(ext, ((0, 0), (0, 0), (0, fp - ext.shape[-1])))
+    # pad rows so the last tile's windows never run off the array
+    ext = jnp.pad(ext, ((0, 0), (0, V3_WROWS), (0, 0)))
+    level = int(finest).bit_length() - int(reso).bit_length()
+    toff = tile_offsets[:, :: 4 ** level] if level else tile_offsets
+    out = _scatter_v3_impl(ext, toff, reso, finest, f, interpret)
+    return out[..., :f].astype(values.dtype)
+
+
+def pallas_scatter_mean_plane_v3(values, cells_chunked, tile_offsets,
+                                 reso: int, finest: int,
+                                 interpret: bool | None = None):
+    """Fat-step aligned Morton scatter-mean (see v3 notes above). Takes the
+    FINEST tile_offsets and coarsens internally. Requires reso >= 32."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _scatter_v3_jit(values, cells_chunked, tile_offsets, reso, finest,
+                           interpret)
+
+
 @functools.partial(jax.jit, static_argnames=("reso", "finest", "interpret"))
 def _aligned_scatter_jit(values, cells_chunked, tile_offsets, reso, finest,
                          interpret):
