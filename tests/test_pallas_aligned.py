@@ -283,3 +283,43 @@ class TestTileGather:
         m = a["mask"][None]
         np.testing.assert_allclose(np.asarray(got)[m], np.asarray(want)[m],
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestConvKernel:
+    @pytest.mark.parametrize("cin,cout,h,w", [(8, 16, 32, 32), (16, 8, 16, 64)])
+    def test_matches_xla_conv(self, cin, cout, h, w):
+        from tomosar2height_tpu.ops.pallas.conv_kernel import pallas_conv3x3
+
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.normal(size=(2, h, w, cin)).astype(np.float32))
+        kw = jnp.asarray(rng.normal(size=(3, 3, cin, cout)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32))
+        got = pallas_conv3x3(x, kw, b, relu=True, interpret=True)
+        want = jax.nn.relu(jax.lax.conv_general_dilated(
+            x, kw, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32) + b)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_grad_matches_xla(self):
+        from tomosar2height_tpu.ops.pallas.conv_kernel import (
+            _xla_conv,
+            pallas_conv3x3,
+        )
+
+        rng = np.random.default_rng(5)
+        x = jnp.asarray(rng.normal(size=(1, 16, 32, 8)).astype(np.float32))
+        kw = jnp.asarray(rng.normal(size=(3, 3, 8, 8)).astype(np.float32) * 0.1)
+        b = jnp.asarray(rng.normal(size=(8,)).astype(np.float32) * 0.1)
+
+        def f_fast(x_, w_, b_):
+            return (pallas_conv3x3(x_, w_, b_, relu=True, interpret=True) ** 2).sum()
+
+        def f_ref(x_, w_, b_):
+            return (jax.nn.relu(_xla_conv(x_, w_, b_)) ** 2).sum()
+
+        gx, gw, gb = jax.grad(f_fast, argnums=(0, 1, 2))(x, kw, b)
+        rx, rw, rb = jax.grad(f_ref, argnums=(0, 1, 2))(x, kw, b)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(rx), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(rw), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gb), np.asarray(rb), rtol=1e-4, atol=1e-4)

@@ -100,8 +100,8 @@ class AltoDownConv(nn.Module):
 
     @nn.compact
     def __call__(self, xy, x, x_after_conv, c_last, mask, cell_cache):
-        x = nn.relu(conv3x3(self.features, "conv1", self.dtype)(x))
-        x = nn.relu(conv3x3(self.features, "conv2", self.dtype)(x))
+        x = conv3x3(self.features, "conv1", self.dtype, relu=True)(x)
+        x = conv3x3(self.features, "conv2", self.dtype, relu=True)(x)
 
         if x_after_conv is not None:
             if self.level >= 2:
@@ -113,7 +113,7 @@ class AltoDownConv(nn.Module):
         x_after_conv = x
 
         reso = x.shape[1]
-        c = grid_sample_2d(x, xy, mode=self.sample_mode)
+        c = _sample_plane(x, xy, mask, cell_cache, self.sample_mode)
         c = MLP2(self.features, self.dtype, name="fc_comm")(c)
         if c_last is not None:
             c = c + nn.Dense(self.features, kernel_init=kernel_init, dtype=self.dtype,
@@ -149,8 +149,8 @@ class AltoUpConv(nn.Module):
             x = jnp.concatenate([from_up, from_down], axis=-1)
         else:
             x = from_up + from_down
-        x = nn.relu(conv3x3(self.features, "conv1", self.dtype)(x))
-        x = nn.relu(conv3x3(self.features, "conv2", self.dtype)(x))
+        x = conv3x3(self.features, "conv1", self.dtype, relu=True)(x)
+        x = conv3x3(self.features, "conv2", self.dtype, relu=True)(x)
 
         if x_after_conv is not None:
             if last:
@@ -165,7 +165,7 @@ class AltoUpConv(nn.Module):
             return x, x_after_conv, c_last
 
         reso = x.shape[1]
-        c = grid_sample_2d(x, xy, mode=self.sample_mode)
+        c = _sample_plane(x, xy, mask, cell_cache, self.sample_mode)
         c = MLP2(self.features, self.dtype, name="fc_comm")(c)
         if c_last is not None:
             c = c + nn.Dense(self.features, kernel_init=kernel_init, dtype=self.dtype,

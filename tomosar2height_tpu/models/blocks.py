@@ -46,10 +46,66 @@ class ResnetBlockFC(nn.Module):
         return x_s + dx
 
 
-def conv3x3(features: int, name: str | None = None, dtype=jnp.float32) -> nn.Conv:
-    """3x3 same-padding conv (reference unet.py:8-18 / alto.py:11-20)."""
-    return nn.Conv(features, (3, 3), padding="SAME", kernel_init=kernel_init,
-                   dtype=dtype, name=name)
+# 3x3 conv backend: False (default) = XLA everywhere; True = the Pallas tap-
+# matmul kernel (ops/pallas/conv_kernel.py). Profiler verdict on v5e: the
+# kernel only matches XLA's conv at model shapes (both ~15-27 TF/s — skinny
+# K/N matmul shapes cap the MXU) while its boundary-row side input adds ~3 ms
+# of pad traffic per forward, and the compiled (not interpret) kernel has an
+# open numerics defect — kept strictly experimental.
+FAST_CONV = {"enabled": False}
+
+
+def set_fast_conv(enabled: bool | None) -> None:
+    FAST_CONV["enabled"] = enabled
+
+
+def _fast_conv_on() -> bool:
+    import jax
+
+    on = FAST_CONV["enabled"]
+    if on is None:
+        return jax.default_backend() == "tpu"
+    return bool(on)
+
+
+class Conv3x3(nn.Module):
+    """3x3 SAME conv with optional fused ReLU; parameter tree identical to
+    ``nn.Conv`` ('kernel' (3,3,Cin,Cout) + 'bias'), so checkpoints and the
+    torch-parity port are backend-independent."""
+
+    features: int
+    use_relu: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cin = x.shape[-1]
+        kernel = self.param("kernel", kernel_init, (3, 3, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        x = x.astype(self.dtype)
+        kernel = kernel.astype(self.dtype)
+        if _fast_conv_on():
+            from tomosar2height_tpu.ops.pallas.conv_kernel import pallas_conv3x3
+
+            return pallas_conv3x3(x, kernel, bias, relu=self.use_relu)
+        import jax
+
+        # no preferred_element_type: the MXU still accumulates f32 internally,
+        # and a mixed-dtype output breaks lax.conv's transpose rule under grad
+        y = jax.lax.conv_general_dilated(
+            x, kernel, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        y = y + bias.astype(y.dtype)
+        return nn.relu(y) if self.use_relu else y
+
+
+def conv3x3(features: int, name: str | None = None, dtype=jnp.float32,
+            relu: bool = False) -> nn.Module:
+    """3x3 same-padding conv (reference unet.py:8-18 / alto.py:11-20).
+
+    ``relu=True`` fuses the activation into the conv (numerically identical
+    to ``nn.relu(conv(x))``)."""
+    return Conv3x3(features, use_relu=relu, dtype=dtype, name=name)
 
 
 def conv1x1(features: int, name: str | None = None, dtype=jnp.float32) -> nn.Conv:

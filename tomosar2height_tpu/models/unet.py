@@ -24,8 +24,8 @@ class DownConv(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        x = nn.relu(conv3x3(self.features, "conv1", self.dtype)(x))
-        x = nn.relu(conv3x3(self.features, "conv2", self.dtype)(x))
+        x = conv3x3(self.features, "conv1", self.dtype, relu=True)(x)
+        x = conv3x3(self.features, "conv2", self.dtype, relu=True)(x)
         before_pool = x
         if self.pooling:
             x = max_pool_2x2(x)
@@ -52,8 +52,8 @@ class UpConv(nn.Module):
             x = jnp.concatenate([from_up, from_down], axis=-1)
         else:
             x = from_up + from_down
-        x = nn.relu(conv3x3(self.features, "conv1", self.dtype)(x))
-        x = nn.relu(conv3x3(self.features, "conv2", self.dtype)(x))
+        x = conv3x3(self.features, "conv1", self.dtype, relu=True)(x)
+        x = conv3x3(self.features, "conv2", self.dtype, relu=True)(x)
         return x
 
 
