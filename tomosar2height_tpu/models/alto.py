@@ -66,7 +66,15 @@ def _scatter_plane(xy, c, reso, mask, cell_cache):
     if idx is None:
         idx = cell_index(xy, reso)
         cell_cache[reso] = idx
-    plane = segment_mean(c, idx, reso * reso, mask)
+    # per-cell counts are identical for every scatter at this resolution
+    # (same cells, same mask) — compute once per forward, not per level
+    counts = cell_cache.get(("counts", reso))
+    if counts is None:
+        from tomosar2height_tpu.ops.scatter import segment_counts
+
+        counts = segment_counts(idx, reso * reso, mask)
+        cell_cache[("counts", reso)] = counts
+    plane = segment_mean(c, idx, reso * reso, mask, counts=counts)
     b = c.shape[0]
     return plane.reshape(b, reso, reso, c.shape[-1])
 

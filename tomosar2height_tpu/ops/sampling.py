@@ -42,20 +42,23 @@ def grid_sample_2d(plane: jnp.ndarray, coords: jnp.ndarray, mode: str = "bilinea
     y0 = jnp.floor(y).astype(jnp.int32)
     x0 = jnp.clip(x0, 0, w - 1)
     y0 = jnp.clip(y0, 0, h - 1)
-    x1 = jnp.minimum(x0 + 1, w - 1)
-    y1 = jnp.minimum(y0 + 1, h - 1)
     wx = (x - x0.astype(x.dtype))[..., None]
     wy = (y - y0.astype(y.dtype))[..., None]
 
-    flat = plane.reshape(b, h * w, c)
-
-    def take(yi, xi):
-        return jnp.take_along_axis(flat, (yi * w + xi)[..., None], axis=1)
-
-    v00 = take(y0, x0)
-    v01 = take(y0, x1)
-    v10 = take(y1, x0)
-    v11 = take(y1, x1)
+    # quad-packing: XLA's TPU gather is row-visit bound, so ONE gather of the
+    # four corners packed as channels beats four separate corner gathers ~4x.
+    # jnp.roll wraps at the far edge, but border clamping makes the wrapped
+    # neighbor's bilinear weight exactly 0 (x0 == w-1 implies wx == 0), so the
+    # result is identical to the four-gather form.
+    p4 = jnp.concatenate(
+        [plane,
+         jnp.roll(plane, -1, axis=2),
+         jnp.roll(plane, -1, axis=1),
+         jnp.roll(plane, (-1, -1), axis=(1, 2))], axis=-1)
+    flat4 = p4.reshape(b, h * w, 4 * c)
+    v4 = jnp.take_along_axis(flat4, (y0 * w + x0)[..., None], axis=1)
+    v00, v01, v10, v11 = (v4[..., :c], v4[..., c:2 * c],
+                          v4[..., 2 * c:3 * c], v4[..., 3 * c:])
     top = v00 * (1 - wx) + v01 * wx
     bot = v10 * (1 - wx) + v11 * wx
     return top * (1 - wy) + bot * wy

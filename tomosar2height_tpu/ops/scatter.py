@@ -47,11 +47,27 @@ def _flat_segments(index: jnp.ndarray, mask: jnp.ndarray | None, num_segments: i
     return seg.reshape(-1), b, n
 
 
+def segment_counts(
+    index: jnp.ndarray,
+    num_segments: int,
+    mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """(B, num_segments, 1) per-cell point counts — precompute once and pass
+    to :func:`segment_mean` when the same (index, mask) reduces repeatedly
+    (the ALTO pyramid scatters at each level with identical cells)."""
+    b, n = index.shape
+    seg, _, _ = _flat_segments(index, mask, num_segments)
+    ones = jnp.ones((b * n, 1), dtype=jnp.float32)
+    counts = jax.ops.segment_sum(ones, seg, num_segments=b * num_segments + 1)
+    return counts[: b * num_segments].reshape(b, num_segments, 1)
+
+
 def segment_mean(
     values: jnp.ndarray,
     index: jnp.ndarray,
     num_segments: int,
     mask: jnp.ndarray | None = None,
+    counts: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Masked per-cell mean.
 
@@ -60,6 +76,8 @@ def segment_mean(
         index: (B, N) int cell ids in [0, num_segments).
         num_segments: number of cells per batch entry.
         mask: (B, N) bool validity; padded points are ignored.
+        counts: optional precomputed :func:`segment_counts` (skips the
+            second scatter).
 
     Returns:
         (B, num_segments, C); empty cells are 0.
@@ -69,10 +87,10 @@ def segment_mean(
     flat = values.reshape(b * n, c)
     total = b * num_segments + 1
     sums = jax.ops.segment_sum(flat, seg, num_segments=total)
-    ones = jnp.ones((b * n, 1), dtype=values.dtype)
-    counts = jax.ops.segment_sum(ones, seg, num_segments=total)
-    out = sums / jnp.maximum(counts, 1.0)
-    return out[: b * num_segments].reshape(b, num_segments, c)
+    sums = sums[: b * num_segments].reshape(b, num_segments, c)
+    if counts is None:
+        counts = segment_counts(index, num_segments, mask)
+    return sums / jnp.maximum(counts.astype(sums.dtype), 1.0)
 
 
 def segment_max(
