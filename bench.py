@@ -89,7 +89,7 @@ def e2e_bench(batch: int = 4, dtype: str = "float32", iters: int = 3,
 
 
 def main(batch: int = 4, n_points: int = 16384, iters: int = 20, train: bool = False,
-         dtype: str = "float32", scan: int = 0, sorted_path: bool = False,
+         dtype: str = "bfloat16", scan: int = 0, sorted_path: bool = False,
          e2e: bool = False, fused: bool = False):
     if e2e:
         stats = e2e_bench(batch, dtype, sorted_path=sorted_path)
@@ -240,7 +240,10 @@ if __name__ == "__main__":
     ap.add_argument("--points", type=int, default=16384)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--train", action="store_true")
-    ap.add_argument("--dtype", default="float32")
+    # bf16 is the serving default: the f32 regression heads keep height
+    # precision (models/decoder.py) and 150-iter flagship training matches
+    # f32 val L1 within 3% at every checkpoint (RESULTS.md round 2)
+    ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--scan", type=int, default=0,
                     help="batches per dispatch (serving mode)")
     ap.add_argument("--sorted", action="store_true",

@@ -52,12 +52,15 @@ def resize_bilinear(x: jnp.ndarray, out_hw) -> jnp.ndarray:
     mh = jnp.asarray(_interp_matrix(h, oh))
     mw = jnp.asarray(_interp_matrix(w, ow))
     # (B,H,W,C) -> (B,OH,W,C) -> (B,OH,OW,C); contractions hit the MXU.
-    # HIGHEST precision: interpolation weights must not be bf16-truncated
-    # (default TPU matmul precision would shift sample positions by ~1e-2 px).
+    # f32 inputs use HIGHEST so interpolation weights are not bf16-truncated
+    # (sample positions would shift ~1e-2 px); bf16 inputs already quantize
+    # the features themselves, so the multi-pass upcast buys nothing.
     import jax
 
-    y = jnp.einsum("oh,bhwc->bowc", mh, x, precision=jax.lax.Precision.HIGHEST,
+    prec = (jax.lax.Precision.HIGHEST if x.dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    y = jnp.einsum("oh,bhwc->bowc", mh, x, precision=prec,
                    preferred_element_type=x.dtype)
-    y = jnp.einsum("pw,bowc->bopc", mw, y, precision=jax.lax.Precision.HIGHEST,
+    y = jnp.einsum("pw,bowc->bopc", mw, y, precision=prec,
                    preferred_element_type=x.dtype)
     return y
