@@ -81,7 +81,7 @@ def categorize(trace_dir: str, top: int = 25):
         print(f"  {d/steps/1e3:8.3f} ms [{c}] {s}")
 
 
-def capture(train: bool, dtype: str, fused: bool, out_dir: str):
+def capture(train: bool, dtype: str, fused: bool, out_dir: str, batch: int = 4):
     from tomosar2height_tpu.utils import enable_compile_cache
 
     enable_compile_cache()
@@ -94,8 +94,8 @@ def capture(train: bool, dtype: str, fused: bool, out_dir: str):
     if dtype != "float32":
         model = model.clone(dtype=jnp.dtype(dtype))
     rng = np.random.default_rng(0)
-    pts = jnp.asarray(rng.uniform(0.001, 0.999, (4, 16384, 3)).astype(np.float32))
-    mask = jnp.ones((4, 16384), bool)
+    pts = jnp.asarray(rng.uniform(0.001, 0.999, (batch, 16384, 3)).astype(np.float32))
+    mask = jnp.ones((batch, 16384), bool)
 
     if train:
         from tomosar2height_tpu.parallel.mesh import make_mesh
@@ -105,8 +105,8 @@ def capture(train: bool, dtype: str, fused: bool, out_dir: str):
         trainer = Trainer(model, {"optimize_every": 1}, use_cloud=True,
                           mesh=make_mesh(1), donate=False)
         batch = {"points": np.asarray(pts), "point_mask": np.asarray(mask),
-                 "patch_valid": np.ones((4,), bool),
-                 "dsm": rng.uniform(0, 30, (4, 512, 512)).astype(np.float32)}
+                 "patch_valid": np.ones((batch,), bool),
+                 "dsm": rng.uniform(0, 30, (batch, 512, 512)).astype(np.float32)}
         state = trainer.init_state(jax.random.PRNGKey(0), batch)
         state = trainer.train_step(state, batch, 1e-4)  # compile
         import jax.profiler
@@ -138,6 +138,7 @@ def capture(train: bool, dtype: str, fused: bool, out_dir: str):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--train", action="store_true")
+    ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--fused", action="store_true")
     ap.add_argument("--parse", default=None, help="trace dir to re-parse")
@@ -146,5 +147,5 @@ if __name__ == "__main__":
     if a.parse:
         categorize(a.parse)
     else:
-        capture(a.train, a.dtype, a.fused, a.out)
+        capture(a.train, a.dtype, a.fused, a.out, a.batch)
         categorize(a.out)

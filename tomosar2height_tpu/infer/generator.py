@@ -68,6 +68,7 @@ class DSMGenerator:
         use_cloud: bool = True,
         use_image: bool = True,
         mesh=None,
+        pipeline_depth: int = 3,
     ):
         """
         Args:
@@ -103,6 +104,10 @@ class DSMGenerator:
         )
 
         self.last_stats = None  # phase breakdown of the last generate_dsm
+        # how many batches of device work stay in flight ahead of the host
+        # blend; >1 hides the device time AND the per-fetch relay round trip
+        # behind the float64 stitch of earlier batches
+        self.pipeline_depth = max(int(pipeline_depth), 1)
         self.mesh = mesh
         if mesh is not None:
             bs = data_loader.batch_size
@@ -186,9 +191,12 @@ class DSMGenerator:
         # device-wait + f64 blend / finalize + GeoTIFF write, seconds
         t_loader = t_dispatch = t_blend = 0.0
 
-        # 1-deep pipeline: dispatch batch k+1's (async) device forward before
-        # blending batch k on host, overlapping TPU compute with the f64 stitch
-        pending = None
+        # D-deep pipeline: keep `pipeline_depth` batches of async device work
+        # in flight ahead of the host blend, overlapping TPU compute (and the
+        # per-fetch relay round trip) with the f64 stitch
+        from collections import deque
+
+        pending: deque = deque()
         it = iter(self.data_loader)
         while True:
             t0 = time.perf_counter()
@@ -199,14 +207,16 @@ class DSMGenerator:
             t0 = time.perf_counter()
             h_dev = self._dispatch(params, batch)
             t_dispatch += time.perf_counter() - t0
-            if pending is not None:
+            pending.append((h_dev, batch))
+            if len(pending) > self.pipeline_depth:
                 t0 = time.perf_counter()
-                n_patches += self._blend_batch(tiff_data, dsm_acc, weight_acc, *pending)
+                n_patches += self._blend_batch(tiff_data, dsm_acc, weight_acc,
+                                               *pending.popleft())
                 t_blend += time.perf_counter() - t0
-            pending = (h_dev, batch)
-        if pending is not None:
+        while pending:
             t0 = time.perf_counter()
-            n_patches += self._blend_batch(tiff_data, dsm_acc, weight_acc, *pending)
+            n_patches += self._blend_batch(tiff_data, dsm_acc, weight_acc,
+                                           *pending.popleft())
             t_blend += time.perf_counter() - t0
 
         t0 = time.perf_counter()
