@@ -48,10 +48,12 @@ class ResnetBlockFC(nn.Module):
 
 # 3x3 conv backend: False (default) = XLA everywhere; True = the Pallas tap-
 # matmul kernel (ops/pallas/conv_kernel.py). Profiler verdict on v5e: the
-# kernel only matches XLA's conv at model shapes (both ~15-27 TF/s — skinny
-# K/N matmul shapes cap the MXU) while its boundary-row side input adds ~3 ms
-# of pad traffic per forward, and the compiled (not interpret) kernel has an
-# open numerics defect — kept strictly experimental.
+# kernel only matches XLA's conv speed at model shapes (both ~15-27 TF/s —
+# skinny K/N matmul shapes cap the MXU) while its boundary-row side input
+# adds ~3 ms of pad traffic per forward. NOTE the kernel is exact (f32
+# HIGHEST taps); it is the XLA conv that is loose on this chip — the
+# terminal's --xla_allow_excess_precision lets f32 convs run bf16-rounded
+# passes (~1e-2 abs err, verified by identity-weight bisection).
 FAST_CONV = {"enabled": False}
 
 

@@ -55,20 +55,22 @@ def _conv_kernel(x_ref, bnd_ref, w_ref, b_ref, out_ref, xp_ref, acc_ref, *,
     prec = (jax.lax.Precision.HIGHEST if f32_precision
             else jax.lax.Precision.DEFAULT)
     acc_ref[:] = jnp.broadcast_to(b_ref[0].astype(jnp.float32),
-                                  (rb * width, cout))
+                                  (rb, width, cout))
     for ky in range(3):
         for kx in range(3):
-            sl = xp_ref[ky:ky + rb, kx:kx + width, :].reshape(rb * width, cin)
+            # rank-3 contraction: no reshape needed, and the tap slices read
+            # straight out of the scratch window
+            sl = xp_ref[ky:ky + rb, kx:kx + width, :]
             acc_ref[:] += jax.lax.dot_general(
                 sl, w_ref[ky, kx],
-                dimension_numbers=(((1,), (0,)), ((), ())),
+                dimension_numbers=(((2,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=prec,
             )
     acc = acc_ref[:]
     if relu:
         acc = jnp.maximum(acc, 0.0)
-    out_ref[0] = acc.reshape(rb, width, cout).astype(out_ref.dtype)
+    out_ref[0] = acc.astype(out_ref.dtype)
 
 
 def _conv_impl(x, bnd, w, b, relu, interpret):
@@ -102,7 +104,7 @@ def _conv_impl(x, bnd, w, b, relu, interpret):
         out_specs=out_spec,
         scratch_shapes=[
             pltpu.VMEM((rb + 2, wpad, cin), x.dtype),
-            pltpu.VMEM((rb * width, cout), jnp.float32),
+            pltpu.VMEM((rb, width, cout), jnp.float32),
         ],
         interpret=interpret,
     )(x, bnd, w, b)
