@@ -26,7 +26,16 @@ from typing import Dict, Optional
 import flax.linen as nn
 import jax.numpy as jnp
 
-from tomosar2height_tpu.models.blocks import MLP2, conv1x1, conv3x3, kernel_init, max_pool_2x2, upconv2x2
+from tomosar2height_tpu.models.blocks import (
+    MLP2,
+    DenseParams,
+    MLP2Params,
+    conv1x1,
+    conv3x3,
+    kernel_init,
+    max_pool_2x2,
+    upconv2x2,
+)
 from tomosar2height_tpu.ops.sampling import grid_sample_2d
 from tomosar2height_tpu.ops.scatter import cell_index, segment_mean
 from tomosar2height_tpu.ops.sorted_scatter import (
@@ -96,6 +105,68 @@ def _sample_plane(x, xy, mask, cell_cache, mode):
     return grid_sample_2d(x, xy, mode=mode)
 
 
+def _fused2_ok(cell_cache, reso, sample_mode):
+    return (cell_cache.get("impl") == "fused2" and sample_mode == "bilinear"
+            and reso >= 32)
+
+
+def _fused2_meta(cell_cache, reso):
+    """Per-resolution chunk metadata for the fused level kernel, computed once
+    per forward (XLA-side, cheap) and cached across levels."""
+    key = ("meta2", reso)
+    m = cell_cache.get(key)
+    if m is None:
+        from tomosar2height_tpu.ops.pallas.level_kernel import (
+            chunk_metadata,
+            empty_tile_mask,
+        )
+
+        toff = cell_cache["tile_offsets"]
+        ct, pt = chunk_metadata(toff, cell_cache["npad"], reso,
+                                cell_cache["finest"])
+        tmask = empty_tile_mask(toff, reso, cell_cache["finest"])
+        m = (ct, pt, tmask)
+        cell_cache[key] = m
+    return m
+
+
+def _fused2_static(cell_cache, xy):
+    if "aux2" not in cell_cache:
+        from tomosar2height_tpu.ops.pallas.level_kernel import (
+            make_aux_packed,
+            make_cells_row,
+        )
+
+        cell_cache["aux2"] = make_aux_packed(xy)
+        cell_cache["cells_row2"] = make_cells_row(cell_cache["cells"])
+    return cell_cache["aux2"], cell_cache["cells_row2"]
+
+
+def _fused_round_trip(module, x, xy, c_last, mask, cell_cache, features, dtype):
+    """Sample -> fc_comm -> (+fc_c) -> scatter_mean as ONE Pallas call
+    (ops/pallas/level_kernel.py). Declares params tree-identical to the
+    composed path (MLP2 'fc_comm' + Dense 'fc_c'), so checkpoints are
+    backend-independent. Call under ``module``'s compact scope."""
+    from tomosar2height_tpu.ops.pallas.level_kernel import fused_level
+
+    reso = x.shape[1]
+    wi, bi, wo, bo = MLP2Params(features, features, name="fc_comm",
+                                parent=module)()
+    if c_last is not None:
+        wc, bc = DenseParams(features, c_last.shape[-1], name="fc_c",
+                             parent=module)()
+        cl = c_last
+    else:
+        wc = jnp.zeros((1, features), dtype)
+        bc = jnp.zeros((features,), dtype)
+        cl = jnp.zeros(xy.shape[:2] + (1,), dtype)
+    weights = tuple(w.astype(dtype) for w in (wi, bi, wo, bo, wc, bc))
+    aux, cells_row = _fused2_static(cell_cache, xy)
+    ct, pt, tmask = _fused2_meta(cell_cache, reso)
+    return fused_level(x, cl.astype(dtype), weights, aux, cells_row, ct, pt,
+                       tmask, mask, reso, cell_cache["finest"])
+
+
 class AltoDownConv(nn.Module):
     """Encoder level with grid<->point communication (reference alto.py:48-138)."""
 
@@ -121,13 +192,16 @@ class AltoDownConv(nn.Module):
         x_after_conv = x
 
         reso = x.shape[1]
-        c = _sample_plane(x, xy, mask, cell_cache, self.sample_mode)
-        c = MLP2(self.features, self.dtype, name="fc_comm")(c)
-        if c_last is not None:
-            c = c + nn.Dense(self.features, kernel_init=kernel_init, dtype=self.dtype,
-                             name="fc_c")(c_last)
-
-        x = _scatter_plane(xy, c, reso, mask, cell_cache)
+        if _fused2_ok(cell_cache, reso, self.sample_mode):
+            x, c = _fused_round_trip(self, x, xy, c_last, mask, cell_cache,
+                                     self.features, self.dtype)
+        else:
+            c = _sample_plane(x, xy, mask, cell_cache, self.sample_mode)
+            c = MLP2(self.features, self.dtype, name="fc_comm")(c)
+            if c_last is not None:
+                c = c + nn.Dense(self.features, kernel_init=kernel_init,
+                                 dtype=self.dtype, name="fc_c")(c_last)
+            x = _scatter_plane(xy, c, reso, mask, cell_cache)
         before_pool = x
         if self.pooling:
             x = max_pool_2x2(x)
@@ -173,12 +247,16 @@ class AltoUpConv(nn.Module):
             return x, x_after_conv, c_last
 
         reso = x.shape[1]
-        c = _sample_plane(x, xy, mask, cell_cache, self.sample_mode)
-        c = MLP2(self.features, self.dtype, name="fc_comm")(c)
-        if c_last is not None:
-            c = c + nn.Dense(self.features, kernel_init=kernel_init, dtype=self.dtype,
-                             name="fc_c")(c_last)
-        x = _scatter_plane(xy, c, reso, mask, cell_cache)
+        if _fused2_ok(cell_cache, reso, self.sample_mode):
+            x, c = _fused_round_trip(self, x, xy, c_last, mask, cell_cache,
+                                     self.features, self.dtype)
+        else:
+            c = _sample_plane(x, xy, mask, cell_cache, self.sample_mode)
+            c = MLP2(self.features, self.dtype, name="fc_comm")(c)
+            if c_last is not None:
+                c = c + nn.Dense(self.features, kernel_init=kernel_init,
+                                 dtype=self.dtype, name="fc_c")(c_last)
+            x = _scatter_plane(xy, c, reso, mask, cell_cache)
         return x, x_after_conv, c
 
 
@@ -225,6 +303,7 @@ class AltoUNet(nn.Module):
         if buckets is not None:
             cell_cache.update(buckets)
             cell_cache["finest"] = plane.shape[1]
+            cell_cache["npad"] = points.shape[1]
 
         encoder_outs = []
         x, x_after_conv = plane, None

@@ -126,6 +126,36 @@ def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
     return nn.max_pool(x, (2, 2), strides=(2, 2))
 
 
+class DenseParams(nn.Module):
+    """Declares nn.Dense-compatible params ('kernel' (in, out) + 'bias')
+    without applying them — the fused ALTO level kernel
+    (ops/pallas/level_kernel.py) consumes the raw arrays. Param tree, shapes
+    and init are identical to ``nn.Dense``, so checkpoints are interchangeable
+    between the fused and composed paths."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", kernel_init, (self.in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
+class MLP2Params(nn.Module):
+    """Raw params of :class:`MLP2` (fc_in/fc_out), tree-identical."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        wi, bi = DenseParams(2 * self.features, self.in_features, name="fc_in")()
+        wo, bo = DenseParams(self.features, 2 * self.features, name="fc_out")()
+        return wi, bi, wo, bo
+
+
 class MLP2(nn.Module):
     """Linear(d, 2d) -> ReLU -> Linear(2d, d): the ALTO ``fc_comm`` communication
     MLP (reference alto.py:63-67,164-168)."""

@@ -72,7 +72,11 @@ class LocalPoolPointnet(nn.Module):
         reso = self.plane_resolution
         xy = points[..., :2]
         use_sorted = cells is not None and offsets is not None
-        fused = use_sorted and self.sorted_impl == "fused"
+        # 'fused'  = per-op Pallas tile kernels (round 2)
+        # 'fused2' = same pointnet pool/scatter kernels, but the ALTO levels
+        #            run ONE fused gather+MLP+scatter kernel per round trip
+        #            (ops/pallas/level_kernel.py)
+        fused = use_sorted and self.sorted_impl in ("fused", "fused2")
 
         if self.scatter_type not in ("max", "mean"):
             raise ValueError(f"Invalid scatter type: {self.scatter_type}")
@@ -134,7 +138,10 @@ class LocalPoolPointnet(nn.Module):
             plane = plane.reshape(points.shape[0], reso, reso, self.feature_dim)
 
         unet_kwargs = dict(self.unet_kwargs or {})
-        if fused:
+        if fused and self.sorted_impl == "fused2":
+            buckets = {"impl": "fused2", "tile_offsets": offsets,
+                       "cells": cells}
+        elif fused:
             buckets = {"impl": "fused", "tile_offsets": offsets,
                        "cells_chunked": cells_chunked, "aux_x": aux_x,
                        "aux_y": aux_y}
