@@ -323,3 +323,29 @@ class TestConvKernel:
         np.testing.assert_allclose(np.asarray(gx), np.asarray(rx), rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(gw), np.asarray(rw), rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(gb), np.asarray(rb), rtol=1e-4, atol=1e-4)
+
+    def test_grad_bf16(self):
+        """bf16 training through the fast-conv path traces and matches the
+        f32 backward within bf16 tolerance (ADVICE r02: the old backward
+        mixed bf16/f32 operands in the conv transpose and failed to trace)."""
+        from tomosar2height_tpu.ops.pallas.conv_kernel import pallas_conv3x3
+
+        rng = np.random.default_rng(7)
+        x32 = rng.normal(size=(1, 16, 32, 8)).astype(np.float32)
+        w32 = (rng.normal(size=(3, 3, 8, 8)) * 0.1).astype(np.float32)
+        b32 = (rng.normal(size=(8,)) * 0.1).astype(np.float32)
+
+        def loss(x_, w_, b_):
+            return (pallas_conv3x3(x_, w_, b_, relu=True,
+                                   interpret=True) ** 2).sum()
+
+        g16 = jax.grad(loss, argnums=(0, 1, 2))(
+            jnp.asarray(x32, jnp.bfloat16), jnp.asarray(w32, jnp.bfloat16),
+            jnp.asarray(b32, jnp.bfloat16))
+        g32 = jax.grad(loss, argnums=(0, 1, 2))(
+            jnp.asarray(x32), jnp.asarray(w32), jnp.asarray(b32))
+        for a, r in zip(g16, g32):
+            assert a.dtype == jnp.bfloat16
+            ra = np.asarray(r)
+            np.testing.assert_allclose(np.asarray(a, np.float32), ra,
+                                       rtol=0.1, atol=0.1 * np.abs(ra).max())

@@ -155,11 +155,20 @@ def _conv_bwd(relu, interpret, res, g):
     if relu:
         g = jnp.where(y > 0, g, 0)
 
+    # The transpose rule of a mixed-dtype conv (bf16 operands with f32
+    # preferred_element_type) is ill-formed under grad ("requires arguments to
+    # have the same dtypes"); run the whole backward in f32 and cast the
+    # gradients back to the input dtypes (ADVICE r02).
     def f(x_, w_, b_):
-        return _xla_conv(x_, w_, b_)
+        y_ = jax.lax.conv_general_dilated(
+            x_, w_, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y_ + b_
 
-    _, vjp = jax.vjp(f, x, w, b)
-    return vjp(g.astype(x.dtype))
+    _, vjp = jax.vjp(f, x.astype(jnp.float32), w.astype(jnp.float32),
+                     b.astype(jnp.float32))
+    dx, dw, db = vjp(g.astype(jnp.float32))
+    return dx.astype(x.dtype), dw.astype(w.dtype), db.astype(b.dtype)
 
 
 _conv_fwd_op.defvjp(_conv_fwd, _conv_bwd)
