@@ -32,6 +32,9 @@ def main(overrides=None):
     cfg_dataset, cfg_training, cfg_test, cfg_dsm = (
         cfg["dataset"], cfg["training"], cfg["test"], cfg["dsm_generation"]
     )
+    from tomosar2height_tpu.utils.cache import select_platform
+
+    select_platform(cfg.select("device.platform", None))
 
     out_dir_run = os.path.join(cfg_training["out_dir"],
                                f"{cfg_training['run_name']}{cfg['run_suffix']}")

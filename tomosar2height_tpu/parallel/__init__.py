@@ -1,6 +1,7 @@
 from tomosar2height_tpu.parallel.mesh import (  # noqa: F401
-    make_mesh,
-    shard_batch,
-    replicate,
     batch_sharding,
+    init_distributed,
+    make_mesh,
+    replicate,
+    shard_batch,
 )

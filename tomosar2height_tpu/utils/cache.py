@@ -24,3 +24,24 @@ def enable_compile_cache(cache_dir: str | None = None) -> None:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+
+
+def select_platform(platform: str | None) -> None:
+    """Force the JAX platform from config (``device.platform``) — the TPU-side
+    equivalent of the reference's ``gpu_id`` device selection (train.py:20-21).
+
+    Must run before backend initialization. NOTE the JAX_PLATFORMS env var is
+    NOT enough in axon environments (a site hook rewrites it after reading);
+    the explicit config update is authoritative.
+    """
+    if not platform:
+        return
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", str(platform))
+    except RuntimeError as e:  # backends already initialized
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "device.platform=%s ignored: %s", platform, e)

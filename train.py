@@ -29,6 +29,7 @@ from tomosar2height_tpu.train import CheckpointIO, Trainer, build_scheduler
 from tomosar2height_tpu.train.schedule import ITERATION_SCHEDULERS
 from tomosar2height_tpu.train.trainer import TrainState
 from tomosar2height_tpu.utils import MetricLogger, enable_compile_cache, lock_seed, setup_logging
+from tomosar2height_tpu.utils.cache import select_platform
 
 log = logging.getLogger("train")
 
@@ -38,6 +39,17 @@ def main(overrides=None):
 
     cfg_training = cfg["training"]
     cfg_dataset = cfg["dataset"]
+    select_platform(cfg.select("device.platform", None))
+
+    # multi-host (DCN) scale-out: no-op single-process; config/env-driven
+    # explicit clusters via device.distributed.* (SURVEY.md §2.3/§5)
+    from tomosar2height_tpu.parallel import init_distributed
+
+    init_distributed(
+        coordinator_address=cfg.select("device.distributed.coordinator", None),
+        num_processes=cfg.select("device.distributed.num_processes", None),
+        process_id=cfg.select("device.distributed.process_id", None),
+    )
 
     out_dir_run = os.path.join(cfg_training["out_dir"],
                                f"{cfg_training['run_name']}{cfg['run_suffix']}")
