@@ -15,6 +15,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -210,7 +211,57 @@ void ts_blend_accumulate(double* dsm, double* weight, int64_t H, int64_t W,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Batched, THREADED blend accumulation (VERDICT r02 item 2): one call blends a
+// whole batch of patches. Threads partition the SCENE raster into horizontal
+// bands — sliding-window patches overlap each other, so parallelizing over
+// patches would race on the += of shared pixels; disjoint scene bands cannot.
+// patches is (B, ph, pw) float64; w is the shared (ph, pw) blend weight;
+// valid[b] == 0 skips patch b (padded loader entries).
+void ts_blend_accumulate_batch(double* dsm, double* weight, int64_t H, int64_t W,
+                               const double* patches, const double* w,
+                               int64_t B, int64_t ph, int64_t pw,
+                               const int64_t* rows0, const int64_t* cols0,
+                               const uint8_t* valid, int64_t nthreads) {
+  nthreads = std::max<int64_t>(1, std::min<int64_t>(nthreads, H));
+  auto work = [&](int64_t band_lo, int64_t band_hi) {
+    for (int64_t b = 0; b < B; ++b) {
+      if (!valid[b]) continue;
+      const int64_t r0 = rows0[b], c0 = cols0[b];
+      const int64_t rlo = std::max(band_lo, std::max<int64_t>(r0, 0));
+      const int64_t rhi = std::min(band_hi, std::min(H, r0 + ph));
+      const int64_t clo = std::max<int64_t>(c0, 0);
+      const int64_t chi = std::min(W, c0 + pw);
+      if (clo >= chi) continue;
+      const double* pbase = patches + b * ph * pw;
+      for (int64_t rr = rlo; rr < rhi; ++rr) {
+        const double* prow = pbase + (rr - r0) * pw - c0;
+        const double* srow = w + (rr - r0) * pw - c0;
+        double* drow = dsm + rr * W;
+        double* wrow = weight + rr * W;
+        for (int64_t cc = clo; cc < chi; ++cc) {
+          drow[cc] += prow[cc] * srow[cc];
+          wrow[cc] += srow[cc];
+        }
+      }
+    }
+  };
+  if (nthreads <= 1) {
+    work(0, H);
+    return;
+  }
+  std::vector<std::thread> threads;
+  const int64_t band = (H + nthreads - 1) / nthreads;
+  for (int64_t t = 0; t < nthreads; ++t) {
+    const int64_t lo = t * band;
+    const int64_t hi = std::min(H, lo + band);
+    if (lo >= hi) break;
+    threads.emplace_back(work, lo, hi);
+  }
+  for (auto& th : threads) th.join();
+}
+
 // version tag for the loader's staleness check
-const char* ts_version() { return "tomosar_native 1"; }
+const char* ts_version() { return "tomosar_native 2"; }
 
 }  // extern "C"

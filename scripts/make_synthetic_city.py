@@ -21,10 +21,11 @@ from tomosar2height_tpu.geo import RasterData, RasterWriter  # noqa: E402
 from tomosar2height_tpu.geo.cloud import save_las  # noqa: E402
 
 X0, Y0 = 0.0, 5000000.0
-W, H = 1280, 640  # meters == pixels at 1 m
+W, H = 1280, 640  # meters == pixels at 1 m (defaults; --width/--height scale)
 
 
-def build_city(seed: int = 0, density: float = 0.6, n_buildings: int = 90):
+def build_city(seed: int = 0, density: float = 0.6, n_buildings: int = 90,
+               W: int = W, H: int = H):
     rng = np.random.default_rng(seed)
     ndsm = np.zeros((H, W), dtype=np.float32)
     footprint = np.zeros((H, W), dtype=np.uint8)
@@ -62,7 +63,8 @@ def build_city(seed: int = 0, density: float = 0.6, n_buildings: int = 90):
     return ndsm, footprint, btype, pts, rgb
 
 
-def write_raster(path: str, data: np.ndarray, epsg: int = 25832):
+def write_raster(path: str, data: np.ndarray, epsg: int = 25832,
+                 W: int = W, H: int = H):
     rd = RasterData()
     rd.set_transform([X0, Y0], [X0 + W, Y0 + H], [1, 1], epsg)
     if data.ndim == 2:
@@ -73,17 +75,21 @@ def write_raster(path: str, data: np.ndarray, epsg: int = 25832):
     RasterWriter(rd).write_to_file(path)
 
 
-def main(out_root: str, seed: int = 0, density: float = 0.6):
+def main(out_root: str, seed: int = 0, density: float = 0.6,
+         width: int = W, height: int = H):
     raster_dir = os.path.join(out_root, "raster")
     cloud_dir = os.path.join(out_root, "cloud")
     os.makedirs(raster_dir, exist_ok=True)
     os.makedirs(cloud_dir, exist_ok=True)
 
-    ndsm, footprint, btype, pts, rgb = build_city(seed, density)
-    write_raster(os.path.join(raster_dir, "ndsm.tif"), ndsm)
-    write_raster(os.path.join(raster_dir, "footprint.tif"), footprint.astype(np.float32))
-    write_raster(os.path.join(raster_dir, "building_class.tif"), btype.astype(np.float32))
-    write_raster(os.path.join(raster_dir, "rgb.tif"), rgb)
+    n_b = max(90 * (width * height) // (1280 * 640), 10)
+    ndsm, footprint, btype, pts, rgb = build_city(seed, density, n_b,
+                                                  width, height)
+    wr = lambda path, data: write_raster(path, data, W=width, H=height)
+    wr(os.path.join(raster_dir, "ndsm.tif"), ndsm)
+    wr(os.path.join(raster_dir, "footprint.tif"), footprint.astype(np.float32))
+    wr(os.path.join(raster_dir, "building_class.tif"), btype.astype(np.float32))
+    wr(os.path.join(raster_dir, "rgb.tif"), rgb)
     save_las(os.path.join(cloud_dir, "city.las"), pts)
     print(f"synthetic city written to {out_root}: {len(pts)} points, "
           f"{int(footprint.sum())} building px, max height {ndsm.max():.1f} m")
@@ -94,5 +100,7 @@ if __name__ == "__main__":
     ap.add_argument("--out", default="data/synthetic")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--density", type=float, default=0.6)
+    ap.add_argument("--width", type=int, default=W)
+    ap.add_argument("--height", type=int, default=H)
     a = ap.parse_args()
-    main(a.out, a.seed, a.density)
+    main(a.out, a.seed, a.density, a.width, a.height)

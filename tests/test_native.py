@@ -108,3 +108,27 @@ class TestBlend:
             assert native.blend_accumulate(dsm_c, wgt_c, patch, w, int(r0), int(c0))
         np.testing.assert_allclose(dsm_c, dsm_n, atol=1e-12)
         np.testing.assert_allclose(wgt_c, wgt_n, atol=1e-12)
+
+    @pytest.mark.parametrize("nthreads", [1, 4])
+    def test_batch_matches_per_patch(self, rng, nthreads):
+        """Threaded banded batch blend == sequential per-patch blends, with
+        overlapping patches, out-of-range offsets, and invalid entries."""
+        H, W, ph, pw, B = 48, 80, 16, 16, 7
+        dsm_s = np.zeros((H, W)); wgt_s = np.zeros((H, W))
+        dsm_b = np.zeros((H, W)); wgt_b = np.zeros((H, W))
+        patches = rng.normal(size=(B, ph, pw))
+        w = rng.uniform(0.1, 1, (ph, pw))
+        rows0 = rng.integers(-4, H - 8, B)
+        cols0 = rng.integers(-4, W - 8, B)
+        rows0[2] = rows0[3]  # force overlap
+        cols0[3] = cols0[2] + 4
+        valid = np.ones(B, bool)
+        valid[5] = False
+        for i in range(B):
+            if valid[i]:
+                assert native.blend_accumulate(dsm_s, wgt_s, patches[i], w,
+                                               int(rows0[i]), int(cols0[i]))
+        assert native.blend_accumulate_batch(dsm_b, wgt_b, patches, w,
+                                             rows0, cols0, valid, nthreads)
+        np.testing.assert_allclose(dsm_b, dsm_s, atol=1e-12)
+        np.testing.assert_allclose(wgt_b, wgt_s, atol=1e-12)

@@ -147,26 +147,39 @@ class DSMGenerator:
         offsets = dev.get("cell_offsets") if self.use_cloud else None
         return self._forward(params, points, mask, image, cells, offsets)
 
-    def _blend_batch(self, tiff_data, dsm_acc, weight_acc, h_dev, batch) -> int:
-        """Fetch a batch's patch rasters and blend-accumulate on host. Returns
-        the number of valid patches blended."""
+    def _blend_batch(self, tiff_data, dsm_acc, weight_acc, h_grids, batch) -> int:
+        """Blend-accumulate one batch of fetched patch rasters on host (one
+        threaded native call banded over the scene; per-patch fallback).
+        Returns the number of valid patches blended."""
         from tomosar2height_tpu import native
 
-        h_grids = np.asarray(h_dev, dtype=np.float64)
         pw = self.patch_weight
+        b = h_grids.shape[0]
+        valid = np.asarray(batch["patch_valid"], dtype=bool)
+        rows0 = np.zeros(b, dtype=np.int64)
+        cols0 = np.zeros(b, dtype=np.int64)
+        for i in range(b):
+            if not valid[i]:
+                continue
+            min_c = batch["min_bound"][i] + self.pixel_size / 2.0
+            l_col, _ = tiff_data.query_col_row(min_c[0], min_c[1])
+            max_c = batch["max_bound"][i] - self.pixel_size / 2.0
+            _, t_row = tiff_data.query_col_row(max_c[0], max_c[1])
+            rows0[i], cols0[i] = t_row, l_col
+        if native.blend_accumulate_batch(dsm_acc, weight_acc, h_grids, pw,
+                                         rows0, cols0, valid):
+            return int(valid.sum())
         n_patches = 0
-        for i in range(h_grids.shape[0]):
-            if not batch["patch_valid"][i]:
+        for i in range(b):
+            if not valid[i]:
                 continue
             n_patches += 1
-            min_c = batch["min_bound"][i] + self.pixel_size / 2.0
-            max_c = batch["max_bound"][i] - self.pixel_size / 2.0
-            l_col, b_row = tiff_data.query_col_row(min_c[0], min_c[1])
-            r_col, t_row = tiff_data.query_col_row(max_c[0], max_c[1])
+            t_row, l_col = int(rows0[i]), int(cols0[i])
             if not native.blend_accumulate(dsm_acc, weight_acc, h_grids[i], pw,
                                            t_row, l_col):
-                dsm_acc[t_row:b_row + 1, l_col:r_col + 1] += h_grids[i] * pw
-                weight_acc[t_row:b_row + 1, l_col:r_col + 1] += pw
+                ph, pwid = h_grids[i].shape
+                dsm_acc[t_row:t_row + ph, l_col:l_col + pwid] += h_grids[i] * pw
+                weight_acc[t_row:t_row + ph, l_col:l_col + pwid] += pw
         return n_patches
 
     def generate_dsm(self, save_to: str) -> RasterWriter:
@@ -188,36 +201,55 @@ class DSMGenerator:
         start = time.time()
         n_patches = 0
         # phase breakdown (VERDICT r01 item 5): loader wait / async dispatch /
-        # device-wait + f64 blend / finalize + GeoTIFF write, seconds
-        t_loader = t_dispatch = t_blend = 0.0
+        # device+fetch wait / f64 blend cpu / finalize + GeoTIFF write, seconds
+        t_loader = t_dispatch = t_wait = t_blend = 0.0
+        fetch_times = []
 
         # D-deep pipeline: keep `pipeline_depth` batches of async device work
-        # in flight ahead of the host blend, overlapping TPU compute (and the
-        # per-fetch relay round trip) with the f64 stitch
+        # in flight ahead of the host blend. Device->host transfers run in
+        # FETCH THREADS submitted at dispatch time, so the relay round trip of
+        # batch k+1 overlaps both the device compute of k+2.. and the f64
+        # blend of batch k (VERDICT r02 item 2).
         from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _fetch(h_dev):
+            t0 = time.perf_counter()
+            arr = np.asarray(h_dev, dtype=np.float64)
+            fetch_times.append(time.perf_counter() - t0)
+            return arr
 
         pending: deque = deque()
-        it = iter(self.data_loader)
-        while True:
-            t0 = time.perf_counter()
-            batch = next(it, None)
-            t_loader += time.perf_counter() - t0
-            if batch is None:
-                break
-            t0 = time.perf_counter()
-            h_dev = self._dispatch(params, batch)
-            t_dispatch += time.perf_counter() - t0
-            pending.append((h_dev, batch))
-            if len(pending) > self.pipeline_depth:
+        with ThreadPoolExecutor(max_workers=2) as fetch_pool:
+            it = iter(self.data_loader)
+            while True:
+                t0 = time.perf_counter()
+                batch = next(it, None)
+                t_loader += time.perf_counter() - t0
+                if batch is None:
+                    break
+                t0 = time.perf_counter()
+                h_dev = self._dispatch(params, batch)
+                t_dispatch += time.perf_counter() - t0
+                pending.append((fetch_pool.submit(_fetch, h_dev), batch))
+                if len(pending) > self.pipeline_depth:
+                    fut, b = pending.popleft()
+                    t0 = time.perf_counter()
+                    h = fut.result()
+                    t_wait += time.perf_counter() - t0
+                    t0 = time.perf_counter()
+                    n_patches += self._blend_batch(tiff_data, dsm_acc,
+                                                   weight_acc, h, b)
+                    t_blend += time.perf_counter() - t0
+            while pending:
+                fut, b = pending.popleft()
+                t0 = time.perf_counter()
+                h = fut.result()
+                t_wait += time.perf_counter() - t0
                 t0 = time.perf_counter()
                 n_patches += self._blend_batch(tiff_data, dsm_acc, weight_acc,
-                                               *pending.popleft())
+                                               h, b)
                 t_blend += time.perf_counter() - t0
-        while pending:
-            t0 = time.perf_counter()
-            n_patches += self._blend_batch(tiff_data, dsm_acc, weight_acc,
-                                           *pending.popleft())
-            t_blend += time.perf_counter() - t0
 
         t0 = time.perf_counter()
         with np.errstate(invalid="ignore", divide="ignore"):
@@ -232,13 +264,18 @@ class DSMGenerator:
         self.last_stats = {
             "total_s": total, "n_patches": n_patches,
             "loader_s": t_loader, "dispatch_s": t_dispatch,
-            "device_wait_blend_s": t_blend, "finalize_write_s": t_finalize,
+            "device_wait_blend_s": t_wait + t_blend,
+            "fetch_wait_s": t_wait, "blend_cpu_s": t_blend,
+            "fetch_thread_s": float(sum(fetch_times)),
+            "finalize_write_s": t_finalize,
             "patches_per_s": n_patches / total if total > 0 else 0.0,
         }
         log.info(
             "DSM Generation time: %.2f s (%d patches, %.2f tiles/s e2e; "
-            "loader %.2f | dispatch %.2f | device+blend %.2f | write %.2f)",
+            "loader %.2f | dispatch %.2f | fetch-wait %.2f | blend %.2f | "
+            "write %.2f; fetch threads busy %.2f)",
             total, n_patches, self.last_stats["patches_per_s"],
-            t_loader, t_dispatch, t_blend, t_finalize,
+            t_loader, t_dispatch, t_wait, t_blend, t_finalize,
+            self.last_stats["fetch_thread_s"],
         )
         return writer

@@ -88,6 +88,12 @@ def _load() -> Optional[ctypes.CDLL]:
                                         _c_double_p, _c_double_p,
                                         ctypes.c_int64, ctypes.c_int64,
                                         ctypes.c_int64, ctypes.c_int64]
+    lib.ts_blend_accumulate_batch.restype = None
+    lib.ts_blend_accumulate_batch.argtypes = [
+        _c_double_p, _c_double_p, ctypes.c_int64, ctypes.c_int64,
+        _c_double_p, _c_double_p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        _c_i64_p, _c_i64_p, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
     _lib = lib
     HAVE_NATIVE = True
     return lib
@@ -200,4 +206,32 @@ def blend_accumulate(dsm: np.ndarray, weight: np.ndarray, patch: np.ndarray,
                             dsm.shape[0], dsm.shape[1],
                             _ptr(p, _c_double_p), _ptr(ww, _c_double_p),
                             p.shape[0], p.shape[1], int(row0), int(col0))
+    return True
+
+
+def blend_accumulate_batch(dsm: np.ndarray, weight: np.ndarray,
+                           patches: np.ndarray, w: np.ndarray,
+                           rows0: np.ndarray, cols0: np.ndarray,
+                           valid: np.ndarray, nthreads: int = 0) -> bool:
+    """Blend a whole batch of patches in one threaded native call (threads
+    partition the scene into row bands — overlap-safe; see the C++ notes)."""
+    lib = _load()
+    if lib is None:
+        return False
+    assert dsm.dtype == np.float64 and dsm.flags.c_contiguous
+    assert weight.dtype == np.float64 and weight.flags.c_contiguous
+    p = np.ascontiguousarray(patches, dtype=np.float64)
+    ww = np.ascontiguousarray(w, dtype=np.float64)
+    r0 = np.ascontiguousarray(rows0, dtype=np.int64)
+    c0 = np.ascontiguousarray(cols0, dtype=np.int64)
+    va = np.ascontiguousarray(valid, dtype=np.uint8)
+    if nthreads <= 0:
+        nthreads = min(os.cpu_count() or 1, 16)
+    lib.ts_blend_accumulate_batch(
+        _ptr(dsm, _c_double_p), _ptr(weight, _c_double_p),
+        dsm.shape[0], dsm.shape[1],
+        _ptr(p, _c_double_p), _ptr(ww, _c_double_p),
+        p.shape[0], p.shape[1], p.shape[2],
+        _ptr(r0, _c_i64_p), _ptr(c0, _c_i64_p),
+        va.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), int(nthreads))
     return True
