@@ -123,7 +123,13 @@ class PixelwiseDecoder(nn.Module):
                 x_footprint = ConvDecoder(self.out_dim, False, self.dtype,
                                           name="conv_decoder_footprint")(c)
         else:
-            x = FCDecoder(self.out_dim, 5, self.leaky, self.dtype, name="fc_decoder")(c)
+            # Reference quirk mirrored exactly (pixel.py:88): the call
+            # FCDecoder(hidden_dim, out_dim, leaky) passes ``leaky`` into the
+            # positional ``n_blocks`` slot, so the height head gets
+            # int(leaky) ResNet blocks (0 for the shipped leaky=False) while
+            # the footprint head keeps the signature default of 5.
+            x = FCDecoder(self.out_dim, int(self.leaky), False, self.dtype,
+                          name="fc_decoder")(c)
             if self.use_footprint:
                 x_footprint = FCDecoder(self.out_dim, 5, False, self.dtype,
                                         name="fc_decoder_footprint")(c)

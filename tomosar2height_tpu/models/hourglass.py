@@ -61,13 +61,12 @@ class ConvBlock(nn.Module):
 
 
 def _bicubic_up2(x: jnp.ndarray) -> jnp.ndarray:
-    """2x upsample, cubic, align_corners=True (reference hourglass.py:126)."""
+    """2x upsample, cubic, align_corners=True (reference hourglass.py:126);
+    exact torch parity via the separable a=-0.75 matmul resize."""
+    from tomosar2height_tpu.ops.resize import resize_cubic
+
     b, h, w, c = x.shape
-    # jax.image.resize 'cubic' uses half-pixel centers; the align-corners
-    # variant is approximated by resizing the interior sample grid — for the
-    # hourglass skip-add the sub-pixel difference is immaterial, but keep the
-    # scale exact
-    return jax.image.resize(x, (b, 2 * h, 2 * w, c), method="cubic")
+    return resize_cubic(x, (2 * h, 2 * w))
 
 
 class HourGlass(nn.Module):
@@ -112,7 +111,9 @@ class HGFilter(nn.Module):
     @nn.compact
     def __call__(self, x):
         out_dim = self.num_classes or self.feature_dim
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding="SAME",
+        # torch Conv2d(padding=3) pads symmetrically; XLA 'SAME' at stride 2
+        # would pad (2, 3) and shift every window by one pixel
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                     kernel_init=kernel_init, dtype=self.dtype, name="conv1")(x)
         x = nn.relu(_norm(self.norm, 64, self.dtype, "bn1")(x))
 
@@ -121,11 +122,11 @@ class HGFilter(nn.Module):
             x = nn.avg_pool(x, (2, 2), strides=(2, 2))
         elif self.hg_down == "conv64":
             x = ConvBlock(64, self.norm, self.dtype, name="conv2")(x)
-            x = nn.Conv(128, (3, 3), strides=(2, 2), padding="SAME",
+            x = nn.Conv(128, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
                         kernel_init=kernel_init, dtype=self.dtype, name="down_conv2")(x)
         elif self.hg_down == "conv128":
             x = ConvBlock(128, self.norm, self.dtype, name="conv2")(x)
-            x = nn.Conv(128, (3, 3), strides=(2, 2), padding="SAME",
+            x = nn.Conv(128, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)),
                         kernel_init=kernel_init, dtype=self.dtype, name="down_conv2")(x)
         else:
             raise ValueError("Unknown HGFilter downsampling method!")

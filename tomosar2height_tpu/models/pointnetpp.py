@@ -106,6 +106,7 @@ class SetAbstraction(nn.Module):
     nsample: Optional[int]
     mlp: Sequence[int]
     group_all: bool = False
+    norm: str = "group"  # 'group' (the BatchNorm substitution) | 'none'
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -141,7 +142,8 @@ class SetAbstraction(nn.Module):
         h = grouped
         for i, f in enumerate(self.mlp):
             h = nn.Dense(f, kernel_init=kernel_init, dtype=self.dtype, name=f"mlp{i}")(h)
-            h = nn.GroupNorm(num_groups=min(8, f), dtype=self.dtype, name=f"gn{i}")(h)
+            if self.norm == "group":
+                h = nn.GroupNorm(num_groups=min(8, f), dtype=self.dtype, name=f"gn{i}")(h)
             h = nn.relu(h)
         # masked max over the group dimension
         h = jnp.where(valid[..., None], h, -BIG)
@@ -154,6 +156,7 @@ class FeaturePropagation(nn.Module):
     """3-NN inverse-distance upsampling + per-point MLP (pointnetpp.py:59-109)."""
 
     mlp: Sequence[int]
+    norm: str = "group"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -179,7 +182,8 @@ class FeaturePropagation(nn.Module):
         )
         for i, f in enumerate(self.mlp):
             h = nn.Dense(f, kernel_init=kernel_init, dtype=self.dtype, name=f"mlp{i}")(h)
-            h = nn.GroupNorm(num_groups=min(8, f), dtype=self.dtype, name=f"gn{i}")(h)
+            if self.norm == "group":
+                h = nn.GroupNorm(num_groups=min(8, f), dtype=self.dtype, name=f"gn{i}")(h)
             h = nn.relu(h)
         return h
 
