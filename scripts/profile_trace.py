@@ -94,8 +94,33 @@ def capture(train: bool, dtype: str, fused: bool, out_dir: str, batch: int = 4):
     if dtype != "float32":
         model = model.clone(dtype=jnp.dtype(dtype))
     rng = np.random.default_rng(0)
-    pts = jnp.asarray(rng.uniform(0.001, 0.999, (batch, 16384, 3)).astype(np.float32))
-    mask = jnp.ones((batch, 16384), bool)
+    pts_np = rng.uniform(0.001, 0.999, (batch, 16384, 3)).astype(np.float32)
+    mask_np = np.ones((batch, 16384), bool)
+    cells = offsets = None
+    if fused:  # chunk-aligned Morton layout + the Pallas kernel path
+        from tomosar2height_tpu.ops.pallas.gather_kernel import CHUNK
+        from tomosar2height_tpu.ops.sorted_scatter import (
+            aligned_bucket_size,
+            host_morton_bucket_aligned,
+        )
+
+        ek = dict(model.encoder_kwargs)
+        ek["sorted_impl"] = fused if isinstance(fused, str) else "fused"
+        model = model.clone(encoder_kwargs=ek)
+        npad = aligned_bucket_size(16384, 256, CHUNK)
+        apts = np.full((batch, npad, 3), 0.5, np.float32)
+        amask = np.zeros((batch, npad), bool)
+        acell = np.zeros((batch, npad), np.int32)
+        atoff = np.zeros((batch, 256 * 256 // 256 + 1), np.int32)
+        for i in range(batch):
+            a = host_morton_bucket_aligned(pts_np[i], mask_np[i], 256, CHUNK)
+            apts[i], amask[i], acell[i], atoff[i] = (
+                a["points"], a["mask"], a["cells"], a["tile_offsets"])
+        pts_np, mask_np = apts, amask
+        cells = jnp.asarray(acell)
+        offsets = jnp.asarray(atoff)
+    pts = jnp.asarray(pts_np)
+    mask = jnp.asarray(mask_np)
 
     if train:
         from tomosar2height_tpu.parallel.mesh import make_mesh
@@ -121,16 +146,16 @@ def capture(train: bool, dtype: str, fused: bool, out_dir: str, batch: int = 4):
                                      mask[:1, :256], None)
 
         @jax.jit
-        def fwd(p, x, m):
-            return model.apply(p, x, m, None)[0].sum()
+        def fwd(p, x, m, c, o):
+            return model.apply(p, x, m, None, c, o)[0].sum()
 
-        float(fwd(params, pts, mask))
+        float(fwd(params, pts, mask, cells, offsets))
         import jax.profiler
 
         with jax.profiler.trace(out_dir):
             out = None
             for _ in range(3):
-                out = fwd(params, pts, mask)
+                out = fwd(params, pts, mask, cells, offsets)
             float(out)
     print("trace captured at", out_dir)
 
@@ -140,7 +165,8 @@ if __name__ == "__main__":
     ap.add_argument("--train", action="store_true")
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--dtype", default="bfloat16")
-    ap.add_argument("--fused", action="store_true")
+    ap.add_argument("--fused", nargs="?", const="fused", default=False,
+                    choices=["fused", "fused2"])
     ap.add_argument("--parse", default=None, help="trace dir to re-parse")
     ap.add_argument("--out", default="/tmp/jax_trace_prof")
     a = ap.parse_args()
