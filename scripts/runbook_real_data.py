@@ -92,6 +92,11 @@ def run(dataset: str, overrides: list, dry_run: bool, work: str | None,
         dataset = "synthetic"
 
     cfg = compose(default_conf_dir(), overrides=ov)
+    # honor device.platform BEFORE any step can initialize a backend (the
+    # TPU tunnel is single-client; a stray init would block real work)
+    from tomosar2height_tpu.utils.cache import select_platform
+
+    select_platform(cfg.select("device.platform", None))
     use_cloud = bool(cfg["use_cloud"])
     use_image = bool(cfg["use_image"])
     config_key = ("cloud+image" if use_cloud and use_image

@@ -13,9 +13,12 @@ import random
 import numpy as np
 
 
-def lock_seed(seed: int = 0):
+def lock_seed(seed: int = 0) -> int:
+    """Seed the host generators. Returns the seed (make a PRNGKey from it for
+    device-side use) — deliberately does NOT construct a jax key here:
+    creating one initializes the device backend, a surprising side effect for
+    host-only callers like the offline dataset builder (it would grab the
+    single-client TPU before ``device.platform`` could be honored)."""
     random.seed(seed)
     np.random.seed(seed)
-    import jax
-
-    return jax.random.PRNGKey(seed)
+    return seed
