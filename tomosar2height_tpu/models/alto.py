@@ -131,13 +131,14 @@ def _fused2_meta(cell_cache, reso):
 
 
 def _fused2_static(cell_cache, xy):
-    if "aux2" not in cell_cache:
-        from tomosar2height_tpu.ops.pallas.level_kernel import (
-            make_aux_packed,
-            make_cells_row,
-        )
+    from tomosar2height_tpu.ops.pallas.level_kernel import (
+        make_aux_packed,
+        make_cells_row,
+    )
 
+    if "aux2" not in cell_cache:
         cell_cache["aux2"] = make_aux_packed(xy)
+    if "cells_row2" not in cell_cache:
         cell_cache["cells_row2"] = make_cells_row(cell_cache["cells"])
     return cell_cache["aux2"], cell_cache["cells_row2"]
 

@@ -81,7 +81,33 @@ class LocalPoolPointnet(nn.Module):
         if self.scatter_type not in ("max", "mean"):
             raise ValueError(f"Invalid scatter type: {self.scatter_type}")
 
-        if fused:
+        if fused and self.sorted_impl == "fused2":
+            # chunk-grid kernels (round 3): pools run as two auto-pipelined
+            # pallas_calls (ops/pallas/pool2_kernel.py); the chunk metadata is
+            # computed once here and shared with the ALTO level kernels via
+            # the buckets dict
+            from tomosar2height_tpu.ops.pallas.fused import (
+                chunk_cells,
+                tile_scatter_mean,
+            )
+            from tomosar2height_tpu.ops.pallas.level_kernel import (
+                chunk_metadata,
+                empty_tile_mask,
+                make_cells_row,
+            )
+            from tomosar2height_tpu.ops.pallas.pool2_kernel import pool2
+
+            npad = points.shape[1]
+            n_tiles = (reso // 16) ** 2
+            cells_row = make_cells_row(cells)
+            ct_f, pt_f = chunk_metadata(offsets, npad, reso, reso)
+            tmask_f = empty_tile_mask(offsets, reso, reso)
+            cells_chunked = chunk_cells(cells)
+
+            def pool_fn(values):
+                return pool2(values, cells_row, ct_f, mask, n_tiles,
+                             self.scatter_type)
+        elif fused:
             # chunk-aligned layout: `offsets` carries CHUNK-multiple TILE
             # offsets (host_morton_bucket_aligned), cells are finest Morton ids
             # with PAD_CELL_SENTINEL on padding rows
@@ -140,7 +166,8 @@ class LocalPoolPointnet(nn.Module):
         unet_kwargs = dict(self.unet_kwargs or {})
         if fused and self.sorted_impl == "fused2":
             buckets = {"impl": "fused2", "tile_offsets": offsets,
-                       "cells": cells}
+                       "cells": cells, "cells_row2": cells_row,
+                       ("meta2", reso): (ct_f, pt_f, tmask_f)}
         elif fused:
             buckets = {"impl": "fused", "tile_offsets": offsets,
                        "cells_chunked": cells_chunked, "aux_x": aux_x,
