@@ -164,6 +164,9 @@ def main(batch: int | None = None, n_points: int = 16384, iters: int = 40, train
             a = host_morton_bucket_aligned(pts_np[i], mask_np[i], RESO, CHUNK)
             apts[i], amask[i], acell[i], atoff[i] = (
                 a["points"], a["mask"], a["cells"], a["tile_offsets"])
+        from tomosar2height_tpu.ops.sorted_scatter import trim_aligned_batch
+
+        apts, amask, acell, atoff = trim_aligned_batch(apts, amask, acell, atoff)
         pts_np, mask_np = apts, amask
         cells = jnp.asarray(acell)
         offsets = jnp.asarray(atoff)

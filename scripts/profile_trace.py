@@ -116,6 +116,9 @@ def capture(train: bool, dtype: str, fused: bool, out_dir: str, batch: int = 4):
             a = host_morton_bucket_aligned(pts_np[i], mask_np[i], 256, CHUNK)
             apts[i], amask[i], acell[i], atoff[i] = (
                 a["points"], a["mask"], a["cells"], a["tile_offsets"])
+        from tomosar2height_tpu.ops.sorted_scatter import trim_aligned_batch
+
+        apts, amask, acell, atoff = trim_aligned_batch(apts, amask, acell, atoff)
         pts_np, mask_np = apts, amask
         cells = jnp.asarray(acell)
         offsets = jnp.asarray(atoff)

@@ -282,6 +282,11 @@ class PatchLoader:
                     image = np.zeros((bsz,) + p["image"].shape, dtype=np.float32)
                 image[i] = p["image"]
 
+        if self.aligned:
+            from tomosar2height_tpu.ops.sorted_scatter import trim_aligned_batch
+
+            points, point_mask, cells, offsets = trim_aligned_batch(
+                points, point_mask, cells, offsets)
         out = {
             "points": points,
             "point_mask": point_mask,

@@ -86,10 +86,6 @@ class LocalPoolPointnet(nn.Module):
             # pallas_calls (ops/pallas/pool2_kernel.py); the chunk metadata is
             # computed once here and shared with the ALTO level kernels via
             # the buckets dict
-            from tomosar2height_tpu.ops.pallas.fused import (
-                chunk_cells,
-                tile_scatter_mean,
-            )
             from tomosar2height_tpu.ops.pallas.level_kernel import (
                 chunk_metadata,
                 empty_tile_mask,
@@ -102,7 +98,6 @@ class LocalPoolPointnet(nn.Module):
             cells_row = make_cells_row(cells)
             ct_f, pt_f = chunk_metadata(offsets, npad, reso, reso)
             tmask_f = empty_tile_mask(offsets, reso, reso)
-            cells_chunked = chunk_cells(cells)
 
             def pool_fn(values):
                 return pool2(values, cells_row, ct_f, mask, n_tiles,
@@ -155,7 +150,11 @@ class LocalPoolPointnet(nn.Module):
         net = nn.Dense(self.feature_dim, kernel_init=kernel_init, dtype=self.dtype,
                        name="fc_c")(net)
 
-        if fused:
+        if fused and self.sorted_impl == "fused2":
+            from tomosar2height_tpu.ops.pallas.pool2_kernel import scatter_plane2
+
+            plane = scatter_plane2(net, cells_row, ct_f, tmask_f, mask, reso)
+        elif fused:
             plane = tile_scatter_mean(net, cells_chunked, offsets, reso, reso)
         elif use_sorted:
             plane = scatter_mean_plane_morton(net, offsets, cells, reso, self.sorted_impl)

@@ -79,17 +79,20 @@ def _reduce_kernel(
             # boundary just contributes its partial max — the accumulator
             # maxes partials across chunks). All 2-D values: no VMEM blowup.
             vf = v.astype(jnp.float32)           # (PCHUNK, Fp)
-            ids = local                          # (1, PCHUNK)
+            # sublane-oriented ids: (1, PCHUNK) int32 -> (PCHUNK, 1) is a
+            # 32-bit minor-dim insertion (allowed); bool reshapes are NOT —
+            # so every i1 mask is built in its final orientation
+            ids_col = local.reshape(PCHUNK, 1)
             s = 1
             while s < PCHUNK:
-                same = (ids == jnp.pad(ids, ((0, 0), (s, 0)),
-                                       constant_values=-7)[:, :PCHUNK])
+                prev = jnp.pad(ids_col, ((s, 0), (0, 0)),
+                               constant_values=-7)[:PCHUNK]
                 v_sh = jnp.pad(vf, ((s, 0), (0, 0)),
                                constant_values=-jnp.inf)[:PCHUNK]
-                vf = jnp.where(same[0][:, None], jnp.maximum(vf, v_sh), vf)
+                vf = jnp.where(ids_col == prev, jnp.maximum(vf, v_sh), vf)
                 s *= 2
-            run_end = (ids != jnp.pad(ids, ((0, 0), (0, 1)),
-                                      constant_values=-9)[:, 1:])  # (1, PCHUNK)
+            run_end = (local != jnp.pad(local, ((0, 0), (0, 1)),
+                                        constant_values=-9)[:, 1:])  # (1, PCHUNK)
             m_end = (m & run_end).astype(jnp.float32)
             picked = jax.lax.dot_general(
                 m_end, vf, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -232,6 +235,149 @@ def _chunkgrid_pool_jit(values, cells_row, ct, n_tiles, kind, interpret):
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(ct, cellv, cells_row)
     return out[..., :f]
+
+
+# --- chunk-grid scatter-mean to plane (the encoder's initial plane emission) -----
+
+
+def _scatter_plane_kernel(
+    ct_ref,     # scalar-prefetch: (B, NC) int32
+    vals_ref,   # VMEM block (1, 1, PCHUNK, Fp)
+    cells_ref,  # VMEM block (1, 1, 1, CL) int32
+    perm_ref,   # VMEM (TILE_CELLS, TILE_CELLS) f32 Morton->row-major one-hot
+    out_ref,    # VMEM out block (1, TILE_SIDE, TILE_SIDE, Fp)
+    acc_ref,    # scratch VMEM (TILE_CELLS, Fp) f32
+    cnt_ref,    # scratch VMEM (TILE_CELLS, 1) f32
+    *,
+    n_tiles: int,
+    f32_precision: bool,
+):
+    from tomosar2height_tpu.ops.pallas.level_kernel import TILE_SIDE
+
+    b = pl.program_id(0)
+    k = pl.program_id(1)
+    nc = pl.num_programs(1)
+    t = ct_ref[b, k]
+    active = t < n_tiles
+    t_prev = jnp.where(k > 0, ct_ref[b, jnp.maximum(k - 1, 0)], -1)
+
+    @pl.when(active & ((k == 0) | (t_prev != t)))
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        cnt_ref[:] = jnp.zeros_like(cnt_ref)
+
+    @pl.when(active)
+    def _():
+        dt = out_ref.dtype
+        prec = (jax.lax.Precision.HIGHEST if f32_precision
+                else jax.lax.Precision.DEFAULT)
+        cells = jax.lax.slice(cells_ref[0, 0], (0, 0), (1, PCHUNK))
+        local = cells - t * TILE_CELLS
+        cell_iota = jax.lax.broadcasted_iota(jnp.int32, (TILE_CELLS, PCHUNK), 0)
+        m = (local == cell_iota)
+        acc_ref[:] += jax.lax.dot_general(
+            m.astype(dt), vals_ref[0, 0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        cnt_ref[:] += jnp.sum(m.astype(jnp.float32), axis=1)[:, None]
+
+        t_next = jnp.where(k + 1 < nc, ct_ref[b, jnp.minimum(k + 1, nc - 1)], -1)
+
+        @pl.when((k == nc - 1) | (t_next != t))
+        def _():
+            mean = acc_ref[:] / jnp.maximum(cnt_ref[:], 1.0)
+            row_major = jax.lax.dot_general(
+                perm_ref[:], mean, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            out_ref[0] = row_major.reshape(TILE_SIDE, TILE_SIDE, -1).astype(dt)
+
+
+@functools.partial(jax.jit, static_argnames=("reso", "interpret"))
+def _scatter_plane_jit(values, cells_row, ct, tmask, reso, interpret):
+    from tomosar2height_tpu.ops.pallas.level_kernel import (
+        _TILE_PERM_MAT,
+        TILE_SIDE,
+        _deinterleave_bits,
+    )
+
+    b, npad, f = values.shape
+    nc = npad // PCHUNK
+    cl = cells_row.shape[-1]
+    n_tiles = (reso // TILE_SIDE) ** 2
+    bits = (reso // TILE_SIDE).bit_length() - 1
+    values_p = _pad_lanes(values)
+    fp = values_p.shape[-1]
+    vals3 = values_p.reshape(b, nc, PCHUNK, fp)
+    dt = values.dtype
+
+    def out_index(b_, k_, ct_r):
+        t = jnp.minimum(ct_r[b_, k_], n_tiles - 1)
+        return (b_, _deinterleave_bits(t, bits, 1),
+                _deinterleave_bits(t, bits, 0), 0)
+
+    spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nc),
+        in_specs=[
+            pl.BlockSpec((1, 1, PCHUNK, fp), lambda b_, k_, *_: (b_, k_, 0, 0)),
+            pl.BlockSpec((1, 1, 1, cl), lambda b_, k_, *_: (b_, k_, 0, 0)),
+            pl.BlockSpec((TILE_CELLS, TILE_CELLS), lambda *_: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, TILE_SIDE, TILE_SIDE, fp), out_index),
+        scratch_shapes=[
+            pltpu.VMEM((TILE_CELLS, fp), jnp.float32),
+            pltpu.VMEM((TILE_CELLS, 1), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_scatter_plane_kernel, n_tiles=n_tiles,
+                          f32_precision=dt == jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, reso, reso, fp), dt),
+        grid_spec=spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(ct, vals3, cells_row, jnp.asarray(_TILE_PERM_MAT, dt))
+    return jnp.where(tmask[..., None], out[..., :f], 0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def scatter_plane2(values, cells_row, ct, tmask, mask, reso):
+    """Chunk-grid scatter-mean -> row-major NHWC plane (B, reso, reso, F):
+    the encoder's plane emission (reference pointnet.py:101-111) with the
+    level-kernel iteration pattern. Empty tiles zeroed by ``tmask``."""
+    interpret = jax.default_backend() != "tpu"
+    return _scatter_plane_jit(values, cells_row, ct, tmask, reso, interpret)
+
+
+def _scatter_plane2_ref(values, cells_row, mask, reso):
+    from tomosar2height_tpu.ops.scatter import segment_mean
+    from tomosar2height_tpu.ops.sorted_scatter import morton_to_plane
+
+    b = values.shape[0]
+    cells = cells_row[..., :PCHUNK].reshape(b, -1)
+    ncell = reso * reso
+    valid = mask & (cells < ncell)
+    idx = jnp.where(valid, cells, 0)
+    vec = segment_mean(values, idx, ncell, valid)
+    return morton_to_plane(vec, reso)
+
+
+def _scatter_plane2_fwd(values, cells_row, ct, tmask, mask, reso):
+    out = scatter_plane2(values, cells_row, ct, tmask, mask, reso)
+    return out, (values, cells_row, mask)
+
+
+def _scatter_plane2_bwd(reso, res, g):
+    values, cells_row, mask = res
+    _, vjp = jax.vjp(
+        lambda v: _scatter_plane2_ref(v, cells_row, mask, reso), values)
+    (dv,) = vjp(g.astype(values.dtype))
+    return dv, None, None, None, None
+
+
+scatter_plane2.defvjp(_scatter_plane2_fwd, _scatter_plane2_bwd)
 
 
 # --- differentiable wrapper (masked; vjp = XLA segment composition) --------------

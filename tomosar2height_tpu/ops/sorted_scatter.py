@@ -147,6 +147,22 @@ def host_morton_bucket_aligned(
     }
 
 
+def trim_aligned_batch(points, mask, cells, tile_offsets, quantum: int = 4096):
+    """Trim a batch of aligned layouts to the smallest ``quantum``-multiple
+    row count covering every entry's used rows (``tile_offsets[:, -1]``).
+
+    aligned_bucket_size is a worst-case STATIC bound (every tile padding to a
+    full chunk); real patches use far fewer rows, and the chunk-grid kernels
+    pay per-chunk block traffic even for skipped tail chunks. Rounding to a
+    quantum keeps the XLA program count small (a handful of variants instead
+    of one per patch).
+    """
+    used = int(np.max(tile_offsets[:, -1])) if len(tile_offsets) else 0
+    npad = max(((used + quantum - 1) // quantum) * quantum, quantum)
+    npad = min(npad, points.shape[1])
+    return points[:, :npad], mask[:, :npad], cells[:, :npad], tile_offsets
+
+
 def coarsen_tile_offsets(tile_offsets: jnp.ndarray, levels: int) -> jnp.ndarray:
     """Tile offsets for a 2^levels-coarser plane: stride-4^levels subsample
     (a coarse tile is the union of 4^levels consecutive fine Morton tiles, so
