@@ -16,7 +16,8 @@ import numpy as np
 
 
 def e2e_bench(batch: int = 4, dtype: str = "float32", iters: int = 3,
-              sorted_path: bool = False, big: bool = False) -> dict:
+              sorted_path: bool = False, big: bool = False,
+              fused: bool | str = False) -> dict:
     """End-to-end serving benchmark: loader -> device forwards -> f64 host
     blend -> GeoTIFF write over the synthetic city (VERDICT r01 item 5;
     reference hot path generator.py:130-159). Returns the MEDIAN iteration's
@@ -83,10 +84,15 @@ def e2e_bench(batch: int = 4, dtype: str = "float32", iters: int = 3,
     cfg = compose(default_conf_dir(), overrides=overrides)
 
     dataset = TomoSARDataset("vis", cfg["dataset"], random_sample=False)
-    sort_reso = 256 if sorted_path else None
+    sort_reso = 256 if (sorted_path or fused) else None
     loader = PatchLoader(dataset, batch, [16384], fixed_bucket=16384,
-                         sort_reso=sort_reso, prefetch=2, n_workers=4)
+                         sort_reso=sort_reso, aligned=bool(fused),
+                         prefetch=2, n_workers=4)
     model = build_model(cfg)
+    if fused:
+        ek = dict(model.encoder_kwargs)
+        ek["sorted_impl"] = fused if isinstance(fused, str) else "fused"
+        model = model.clone(encoder_kwargs=ek)
     sample = loader.collate([dataset[0]])
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0), sample["points"], sample["point_mask"], None,
@@ -117,7 +123,8 @@ def main(batch: int | None = None, n_points: int = 16384, iters: int = 40, train
     if batch is None:
         batch = 4 if (e2e or train) else 1
     if e2e:
-        stats = e2e_bench(batch, dtype, sorted_path=sorted_path, big=big)
+        stats = e2e_bench(batch, dtype, sorted_path=sorted_path, big=big,
+                          fused=fused)
         print(json.dumps({
             "metric": "ndsm_tiles_per_sec_e2e",
             "value": round(stats["patches_per_s"], 3),  # MEDIAN of iters

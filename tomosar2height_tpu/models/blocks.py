@@ -58,6 +58,15 @@ FAST_CONV = {"enabled": False}
 
 
 def set_fast_conv(enabled: bool | None) -> None:
+    """Select the conv backend for subsequently TRACED programs.
+
+    The flag is read at trace time inside ``Conv3x3.__call__``, so it must be
+    set BEFORE the first jit compilation of a given shape: already-compiled
+    programs keep the backend they were traced with (jit caches are keyed on
+    shapes/dtypes, not this flag). A/B profilers must use fresh processes or
+    fresh shapes per setting (ADVICE r02). The default stays XLA — measured
+    equal-speed at model shapes; see the note above.
+    """
     FAST_CONV["enabled"] = enabled
 
 
