@@ -239,6 +239,26 @@ class TestFused2ModelParity:
         rel = np.abs(np.asarray(flat_f) - np.asarray(flat_p)) / denom
         assert float(rel.max()) < 5e-3, f"max rel grad err {rel.max()}"
 
+    def test_trimmed_layout_matches(self, data):
+        """trim_aligned_batch (the serving default) preserves parity: tail
+        chunks carry no information, only per-step cost."""
+        from tomosar2height_tpu.ops.sorted_scatter import trim_aligned_batch
+
+        plain = _build("cumsum")
+        fused = _build("fused2")
+        params = plain.init(jax.random.PRNGKey(0),
+                            jnp.asarray(data["pts"]), jnp.asarray(data["mask"]))
+        out_plain = plain.apply(params, jnp.asarray(data["pts"]),
+                                jnp.asarray(data["mask"]))["xy"]
+        tp, tm, tc, tt = trim_aligned_batch(
+            data["apts"], data["amask"], data["acell"], data["atoff"],
+            quantum=1024)
+        assert tp.shape[1] < data["apts"].shape[1]  # actually trimmed
+        out_fused = fused.apply(params, jnp.asarray(tp), jnp.asarray(tm),
+                                jnp.asarray(tc), jnp.asarray(tt))["xy"]
+        np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_plain),
+                                   rtol=2e-4, atol=2e-4)
+
     def test_bf16_tolerance(self, data):
         """bf16 fused2 stays within bf16-scale error of the bf16 plain path
         (the kernel truncates bilinear weights to bf16 — documented)."""
