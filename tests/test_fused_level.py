@@ -259,6 +259,32 @@ class TestFused2ModelParity:
         np.testing.assert_allclose(np.asarray(out_fused), np.asarray(out_plain),
                                    rtol=2e-4, atol=2e-4)
 
+    def test_sharded_over_mesh(self, data):
+        """GSPMD batch-shards the chunk-grid kernels over the 8-device mesh
+        bit-exactly (the serving configuration's multi-chip path)."""
+        from tomosar2height_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs a multi-device mesh")
+        fused = _build("fused2")
+        params = fused.init(jax.random.PRNGKey(0),
+                            jnp.asarray(data["apts"][:1]),
+                            jnp.asarray(data["amask"][:1]),
+                            jnp.asarray(data["acell"][:1]),
+                            jnp.asarray(data["atoff"][:1]))
+        mesh = make_mesh(2)
+        dev = shard_batch({"p": data["apts"], "m": data["amask"],
+                           "c": data["acell"], "t": data["atoff"]}, mesh)
+        rp = replicate(params, mesh)
+        out = jax.jit(lambda pr, p, m, c, t: fused.apply(pr, p, m, c, t)["xy"])(
+            rp, dev["p"], dev["m"], dev["c"], dev["t"])
+        ref = fused.apply(params, jnp.asarray(data["apts"]),
+                          jnp.asarray(data["amask"]),
+                          jnp.asarray(data["acell"]),
+                          jnp.asarray(data["atoff"]))["xy"]
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
     def test_bf16_tolerance(self, data):
         """bf16 fused2 stays within bf16-scale error of the bf16 plain path
         (the kernel truncates bilinear weights to bf16 — documented)."""
