@@ -116,12 +116,18 @@ def e2e_bench(batch: int = 4, dtype: str = "float32", iters: int = 3,
 
 def main(batch: int | None = None, n_points: int = 16384, iters: int = 40, train: bool = False,
          dtype: str = "bfloat16", scan: int = 0, sorted_path: bool = False,
-         e2e: bool = False, fused: bool | str = False, big: bool = False):
-    # mode-aware default: batch 1 maximizes device throughput (VMEM-resident
-    # working sets), but the e2e/train pipelines amortize their per-batch host
-    # sync better at batch 4
+         e2e: bool = False, fused: bool | str | None = None, big: bool = False):
+    # mode-aware defaults (r03): serving = fused2 chunk-grid kernels at batch
+    # 8 — per-tile kernel cost is batch-independent and convs amortize, so
+    # throughput rises monotonically to b8 (74/96/102/99 at b1/4/8/16) where
+    # the plain path peaked at b1 (94.7) and cliffed at b16 (54). The e2e and
+    # train pipelines keep batch 4 (host-sync amortization).
+    if fused is None:
+        fused = False if (train or e2e) else "fused2"
+    elif fused == "none":
+        fused = False
     if batch is None:
-        batch = 4 if (e2e or train) else 1
+        batch = 4 if (e2e or train) else (8 if fused else 1)
     if e2e:
         stats = e2e_bench(batch, dtype, sorted_path=sorted_path, big=big,
                           fused=fused)
@@ -291,11 +297,12 @@ if __name__ == "__main__":
     ap.add_argument("--e2e", action="store_true",
                     help="end-to-end serving bench: loader + device + f64 "
                          "blend + GeoTIFF write on the synthetic city")
-    ap.add_argument("--fused", nargs="?", const="fused", default=False,
-                    choices=["fused", "fused2"],
+    ap.add_argument("--fused", nargs="?", const="fused", default=None,
+                    choices=["fused", "fused2", "none"],
                     help="chunk-aligned Morton layout + Pallas kernels: "
                          "'fused' = per-op tile kernels (r02), 'fused2' = one "
-                         "fused gather+MLP+scatter kernel per ALTO level (r03)")
+                         "fused gather+MLP+scatter kernel per ALTO level (r03, "
+                         "the serving default), 'none' = plain XLA path")
     ap.add_argument("--big", action="store_true",
                     help="with --e2e: 12-chunk 3840x1280 m city (steady-state)")
     a = ap.parse_args()
