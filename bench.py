@@ -210,6 +210,9 @@ def main(batch: int | None = None, n_points: int = 16384, iters: int = 40, train
             "patch_valid": np.ones((batch,), bool),
             "dsm": rng.uniform(0, 30, (batch, 512, 512)).astype(np.float32),
         }
+        if cells is not None:  # fused/fused2 training A/B
+            batch_d["cell"] = np.asarray(cells)
+            batch_d["cell_offsets"] = np.asarray(offsets)
         state = trainer.init_state(init_key, batch_d)
         state = trainer.train_step(state, batch_d, 1e-4)  # compile
         t0 = time.perf_counter()
