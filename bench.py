@@ -17,7 +17,7 @@ import numpy as np
 
 def e2e_bench(batch: int = 4, dtype: str = "float32", iters: int = 3,
               sorted_path: bool = False, big: bool = False,
-              fused: bool | str = False) -> dict:
+              fused: bool | str = False, device_blend: bool = False) -> dict:
     """End-to-end serving benchmark: loader -> device forwards -> f64 host
     blend -> GeoTIFF write over the synthetic city (VERDICT r01 item 5;
     reference hot path generator.py:130-159). Returns the MEDIAN iteration's
@@ -101,7 +101,8 @@ def e2e_bench(batch: int = 4, dtype: str = "float32", iters: int = 3,
                        dsm_pixel_size=cfg["dsm_generation"]["pixel_size"],
                        half_blend_percent=cfg["dsm_generation"].get("half_blend_percent"),
                        crs_epsg=cfg["dsm_generation"].get("crs_epsg"),
-                       use_cloud=True, use_image=False, mesh=None)
+                       use_cloud=True, use_image=False, mesh=None,
+                       device_blend=device_blend)
     out_tiff = os.path.join(root, "bench_dsm.tiff")
     runs = []
     for _ in range(iters + 1):  # +1 warmup/compile iteration
@@ -116,7 +117,8 @@ def e2e_bench(batch: int = 4, dtype: str = "float32", iters: int = 3,
 
 def main(batch: int | None = None, n_points: int = 16384, iters: int = 40, train: bool = False,
          dtype: str = "bfloat16", scan: int = 0, sorted_path: bool = False,
-         e2e: bool = False, fused: bool | str | None = None, big: bool = False):
+         e2e: bool = False, fused: bool | str | None = None, big: bool = False,
+         device_blend: bool = False):
     # mode-aware defaults (r03): serving = fused2 chunk-grid kernels at batch
     # 8 — per-tile kernel cost is batch-independent and convs amortize, so
     # throughput rises monotonically to b8 (74/96/102/99 at b1/4/8/16) where
@@ -130,7 +132,7 @@ def main(batch: int | None = None, n_points: int = 16384, iters: int = 40, train
         batch = 4 if (e2e or train) else (8 if fused else 1)
     if e2e:
         stats = e2e_bench(batch, dtype, sorted_path=sorted_path, big=big,
-                          fused=fused)
+                          fused=fused, device_blend=device_blend)
         print(json.dumps({
             "metric": "ndsm_tiles_per_sec_e2e",
             "value": round(stats["patches_per_s"], 3),  # MEDIAN of iters
@@ -308,6 +310,9 @@ if __name__ == "__main__":
                          "the serving default), 'none' = plain XLA path")
     ap.add_argument("--big", action="store_true",
                     help="with --e2e: 12-chunk 3840x1280 m city (steady-state)")
+    ap.add_argument("--device-blend", action="store_true",
+                    help="with --e2e: accumulate the blend on-device, fetch "
+                         "one stitched raster per scene (f32 accumulation)")
     a = ap.parse_args()
     main(a.batch, a.points, a.iters, a.train, a.dtype, a.scan, a.sorted, a.e2e,
-         a.fused, a.big)
+         a.fused, a.big, a.device_blend)

@@ -60,7 +60,7 @@ def _tiny_model():
     )
 
 
-def _generate(cfg, tmp_path, mesh, tag):
+def _generate(cfg, tmp_path, mesh, tag, device_blend=False):
     ds = TomoSARDataset("vis", cfg["dataset"])
     loader = PatchLoader(ds, batch_size=8,
                          bucket_sizes=cfg["dataset"]["points"]["bucket_sizes"],
@@ -71,7 +71,8 @@ def _generate(cfg, tmp_path, mesh, tag):
                         sample["point_mask"], None)
     gen = DSMGenerator(model, lambda: params, loader,
                        dsm_pixel_size=[1.0, 1.0], half_blend_percent=[0.5, 0.5],
-                       use_cloud=True, use_image=False, mesh=mesh)
+                       use_cloud=True, use_image=False, mesh=mesh,
+                       device_blend=device_blend)
     out = str(tmp_path / f"dsm_{tag}.tiff")
     writer = gen.generate_dsm(out)
     return writer.get_data()
@@ -91,6 +92,15 @@ class TestShardedInference:
         cfg, root = city
         data = _generate(cfg, tmp_path, None, "nomesh")
         assert np.isfinite(data).all()
+
+    def test_device_blend_matches_host(self, city, tmp_path):
+        """On-device f32 blend accumulation (the serving fast path) matches
+        the host f64 parity path within f32 tolerance."""
+        cfg, root = city
+        host = _generate(cfg, tmp_path, None, "hostblend")
+        dev = _generate(cfg, tmp_path, None, "devblend", device_blend=True)
+        assert host.shape == dev.shape
+        np.testing.assert_allclose(dev, host, atol=2e-3, rtol=1e-4)
 
     def test_batch_divisibility_asserted(self, city, tmp_path):
         cfg, root = city

@@ -69,6 +69,7 @@ class DSMGenerator:
         use_image: bool = True,
         mesh=None,
         pipeline_depth: int = 3,
+        device_blend: bool = False,
     ):
         """
         Args:
@@ -113,7 +114,44 @@ class DSMGenerator:
             bs = data_loader.batch_size
             assert bs % mesh.size == 0, (
                 f"batch size {bs} not divisible by mesh size {mesh.size}")
+        # device-side blend: accumulate weighted patches into scene rasters ON
+        # the chip and fetch ONE stitched raster per scene — removes the
+        # per-patch device->host transfer (~1 MB/patch over a ~17 MB/s relay;
+        # measured as THE e2e bottleneck, RESULTS.md r03). f32 accumulation
+        # instead of the host path's f64 (sums of <= a few dozen overlapping
+        # weighted patches — sub-mm effect); host f64 stays the parity
+        # default and the only multi-chip path for now.
+        self.device_blend = bool(device_blend) and mesh is None
         self._forward = jax.jit(self._forward_impl)
+        import jax.numpy as jnp
+
+        self._blend_step = jax.jit(self._blend_step_impl,
+                                   donate_argnums=(0, 1))
+        self._blend_finalize = jax.jit(
+            lambda d, w: jnp.where(w > 0, jnp.maximum(d / w, 0.0), jnp.nan))
+
+    def _blend_step_impl(self, dsm_dev, wgt_dev, params, points, mask, image,
+                         cells, offsets, rows0, cols0, valid):
+        """Forward one batch and blend-accumulate it into the on-device scene
+        rasters (unrolled over the static batch dim; read-modify-write of a
+        patch-sized window per entry)."""
+        import jax.numpy as jnp
+
+        h = self._forward_impl(params, points, mask, image, cells, offsets)
+        pw = jnp.asarray(self.patch_weight, jnp.float32)
+        ph, pwid = pw.shape
+        b = h.shape[0]
+        for i in range(b):
+            contrib = h[i].astype(jnp.float32) * pw * valid[i]
+            win = jax.lax.dynamic_slice(dsm_dev, (rows0[i], cols0[i]),
+                                        (ph, pwid))
+            dsm_dev = jax.lax.dynamic_update_slice(
+                dsm_dev, win + contrib, (rows0[i], cols0[i]))
+            wwin = jax.lax.dynamic_slice(wgt_dev, (rows0[i], cols0[i]),
+                                         (ph, pwid))
+            wgt_dev = jax.lax.dynamic_update_slice(
+                wgt_dev, wwin + pw * valid[i], (rows0[i], cols0[i]))
+        return dsm_dev, wgt_dev
 
     def _calculate_bounds(self, chunk_info_ls):
         """Scene bbox = union of chunk bounds (reference generator.py:61-72)."""
@@ -182,6 +220,79 @@ class DSMGenerator:
                 weight_acc[t_row:t_row + ph, l_col:l_col + pwid] += pw
         return n_patches
 
+    def _patch_origins(self, tiff_data, batch):
+        """Host-side f64 geo math: scene raster (row, col) origin per patch."""
+        b = len(batch["patch_valid"])
+        valid = np.asarray(batch["patch_valid"], dtype=bool)
+        rows0 = np.zeros(b, dtype=np.int32)
+        cols0 = np.zeros(b, dtype=np.int32)
+        for i in range(b):
+            if not valid[i]:
+                continue
+            min_c = batch["min_bound"][i] + self.pixel_size / 2.0
+            l_col, _ = tiff_data.query_col_row(min_c[0], min_c[1])
+            max_c = batch["max_bound"][i] - self.pixel_size / 2.0
+            _, t_row = tiff_data.query_col_row(max_c[0], max_c[1])
+            rows0[i], cols0[i] = t_row, l_col
+        return rows0, cols0, valid
+
+    def _generate_dsm_device_blend(self, tiff_data, params, start):
+        import jax.numpy as jnp
+
+        t_loader = t_dispatch = 0.0
+        h, w = int(self.dsm_shape[0]), int(self.dsm_shape[1])
+        dsm_dev = jnp.zeros((h, w), jnp.float32)
+        wgt_dev = jnp.zeros((h, w), jnp.float32)
+        n_patches = 0
+        it = iter(self.data_loader)
+        while True:
+            t0 = time.perf_counter()
+            batch = next(it, None)
+            t_loader += time.perf_counter() - t0
+            if batch is None:
+                break
+            t0 = time.perf_counter()
+            rows0, cols0, valid = self._patch_origins(tiff_data, batch)
+            n_patches += int(valid.sum())
+            dev = {k: batch[k] for k in ("points", "point_mask", "image",
+                                         "cell", "cell_offsets") if k in batch}
+            dsm_dev, wgt_dev = self._blend_step(
+                dsm_dev, wgt_dev, params,
+                dev.get("points") if self.use_cloud else None,
+                dev.get("point_mask") if self.use_cloud else None,
+                dev.get("image") if self.use_image else None,
+                dev.get("cell") if self.use_cloud else None,
+                dev.get("cell_offsets") if self.use_cloud else None,
+                rows0, cols0, valid.astype(np.float32))
+            t_dispatch += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = np.asarray(self._blend_finalize(dsm_dev, wgt_dev),
+                         dtype=np.float64)  # ONE fetch per scene
+        t_fetch = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        tiff_data.set_data(np.maximum(out, 0.0).astype(np.float32))
+        writer = RasterWriter(tiff_data)
+        writer.write_to_file(self._save_to)
+        t_finalize = time.perf_counter() - t0
+        total = time.time() - start
+        self.last_stats = {
+            "total_s": total, "n_patches": n_patches,
+            "loader_s": t_loader, "dispatch_s": t_dispatch,
+            "device_wait_blend_s": t_fetch, "fetch_wait_s": t_fetch,
+            "blend_cpu_s": 0.0, "fetch_thread_s": t_fetch,
+            "finalize_write_s": t_finalize,
+            "patches_per_s": n_patches / total if total > 0 else 0.0,
+        }
+        log.info(
+            "DSM Generation time: %.2f s (%d patches, %.2f tiles/s e2e "
+            "device-blend; loader %.2f | dispatch %.2f | device-wait+fetch "
+            "%.2f | write %.2f)",
+            total, n_patches, self.last_stats["patches_per_s"],
+            t_loader, t_dispatch, t_fetch, t_finalize,
+        )
+        return writer
+
     def generate_dsm(self, save_to: str) -> RasterWriter:
         tiff_data = RasterData()
         tiff_data.set_transform(
@@ -190,6 +301,10 @@ class DSMGenerator:
             pixel_size=self.pixel_size,
             crs_epsg=self.crs_epsg,
         )
+        if self.device_blend:
+            self._save_to = save_to
+            return self._generate_dsm_device_blend(tiff_data, self.params_fn(),
+                                                   time.time())
 
         dsm_acc = np.zeros(self.dsm_shape, dtype=np.float64)
         weight_acc = np.zeros(self.dsm_shape, dtype=np.float64)
