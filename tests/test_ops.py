@@ -165,3 +165,17 @@ class TestResize:
     def test_identity(self, rng):
         x = rng.normal(size=(1, 8, 8, 2)).astype(np.float32)
         np.testing.assert_array_equal(np.asarray(resize_bilinear(jnp.asarray(x), (8, 8))), x)
+
+    @pytest.mark.parametrize("hw", [(16, 16), (32, 32), (12, 20)])
+    def test_cubic_vs_torch_bicubic(self, rng, hw):
+        """resize_cubic == F.interpolate(mode='bicubic', align_corners=True)
+        (the hourglass upsample, reference hourglass.py:126)."""
+        from tomosar2height_tpu.ops.resize import resize_cubic
+
+        b, h, w, c = 2, 8, 8, 3
+        x = rng.normal(size=(b, h, w, c)).astype(np.float32)
+        got = np.asarray(resize_cubic(jnp.asarray(x), hw))
+        tx = torch.tensor(x).permute(0, 3, 1, 2)
+        want = F.interpolate(tx, size=hw, mode="bicubic", align_corners=True)
+        want = want.permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(got, want, atol=1e-5)
