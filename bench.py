@@ -217,10 +217,16 @@ def main(batch: int | None = None, n_points: int = 16384, iters: int = 40, train
             batch_d["cell_offsets"] = np.asarray(offsets)
         state = trainer.init_state(init_key, batch_d)
         state = trainer.train_step(state, batch_d, 1e-4)  # compile
+        # steady-state loop: batch k+1's host->device upload overlaps batch
+        # k's compute (prepare_batch), metrics fetch lazily — ONE barrier at
+        # the end, exactly how the real training loop runs
+        nxt = trainer.prepare_batch(batch_d)
         t0 = time.perf_counter()
         for _ in range(iters):
-            # train_step fetches loss scalars to host -> real completion barrier
-            state = trainer.train_step(state, batch_d, 1e-4)
+            cur = nxt
+            nxt = trainer.prepare_batch(batch_d)
+            state = trainer.train_step(state, cur, 1e-4)
+        float(state.metric_acc[0])  # completion barrier for the whole chain
         dt = time.perf_counter() - t0
         tiles_per_sec = batch * iters / dt
         metric = "train_patches_per_sec_per_chip"

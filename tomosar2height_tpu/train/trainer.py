@@ -102,6 +102,13 @@ class Trainer:
         self.grad_reduction = str(cfg_training.get("grad_reduction", "mean"))
         if self.grad_reduction not in ("mean", "sum"):
             raise ValueError(f"Invalid grad_reduction: {self.grad_reduction}")
+        # wire format of the DSM target upload: float16 halves the dominant
+        # host->device transfer (4 MB/step at batch 4 through a ~17 MB/s
+        # relay); quantization is <=0.125 m at the 190 m z-range — far below
+        # GT label noise, and the loss still computes in f32. 'float32'
+        # restores the exact reference numerics.
+        self.wire_dsm_dtype = np.dtype(
+            str(cfg_training.get("wire_dsm_dtype", "float16")))
         self.tx = make_optimizer(self.optimize_every)
         self.mesh = mesh if mesh is not None else make_mesh()
 
@@ -114,12 +121,13 @@ class Trainer:
                                  donate_argnums=(2,) if donate else ())
 
         # host-side window bookkeeping; the metric values themselves live on
-        # device in TrainState.metric_acc (reference averages host-side,
-        # trainer.py:78-89)
+        # device in TrainState.metric_acc and are fetched LAZILY — reading
+        # last_avg_loss* is the sync point, so the step loop itself is a pure
+        # async dispatch chain (a per-step fetch would serialize the relay's
+        # ~9 ms round trip into every step AND block upload/compute overlap)
         self.accumulated_steps = 0
-        self.last_avg_loss = 0.0
-        self.last_avg_loss_dict = {"loss_ce": 0.0, "loss_l1": 0.0,
-                                   "grad_norm": 0.0, "param_norm": 0.0}
+        self._pending_acc = None  # device array of the last closed window
+        self._avg_cache = None
 
     # -- state ------------------------------------------------------------------
 
@@ -149,7 +157,7 @@ class Trainer:
     def _loss(self, params, batch):
         points, mask, image, cells, offsets = self._inputs(batch)
         pa, pb = self.model.apply(params, points, mask, image, cells, offsets)
-        dsm = batch["dsm"]
+        dsm = batch["dsm"].astype(jnp.float32)  # wire dtype may be f16
         valid = batch["patch_valid"]
         pa = pa[..., 0]
         loss_l1 = masked_patch_mean(jnp.abs(pa - dsm), valid)
@@ -204,23 +212,62 @@ class Trainer:
                    "cell", "cell_offsets")
 
     def _device_batch(self, batch):
-        """Keep only array fields the step consumes (names/geo-bounds stay on host)."""
-        return shard_batch({k: batch[k] for k in self.DEVICE_KEYS if k in batch}, self.mesh)
+        """Keep only array fields the step consumes (names/geo-bounds stay on
+        host); the DSM target ships in the configured wire dtype."""
+        out = {}
+        for k in self.DEVICE_KEYS:
+            if k not in batch:
+                continue
+            v = batch[k]
+            if k == "dsm" and v.dtype != self.wire_dsm_dtype:
+                v = v.astype(self.wire_dsm_dtype)
+            out[k] = v
+        return shard_batch(out, self.mesh)
 
-    def train_step(self, state: TrainState, batch: Dict[str, np.ndarray], lr: float):
-        """One mini-step (one device batch). Returns the new state; metric
-        averages publish to ``last_avg_loss*`` once per optimizer step — the
-        only device->host fetch in the window (mini-steps dispatch async)."""
-        batch = self._device_batch(batch)
+    def prepare_batch(self, batch: Dict[str, np.ndarray]):
+        """Start the (async) host->device upload of a batch. Call for batch
+        k+1 before stepping batch k so the transfer overlaps device compute —
+        on a relay-attached chip the upload is otherwise the training
+        bottleneck (RESULTS.md r03)."""
+        return self._device_batch(batch)
+
+    def train_step(self, state: TrainState, batch, lr: float):
+        """One mini-step. ``batch`` may be host numpy or a prepared device
+        batch (:meth:`prepare_batch`). Dispatch is fully async; reading
+        ``last_avg_loss*`` fetches the last closed window's metrics."""
+        if not self._is_prepared(batch):
+            batch = self._device_batch(batch)
         state = self._train_step(state, batch, lr)
         self.accumulated_steps += 1
         if self.accumulated_steps == self.optimize_every:
-            acc = np.asarray(state.metric_acc) / self.optimize_every
-            vals = dict(zip(METRIC_KEYS, acc.tolist()))
-            self.last_avg_loss = vals.pop("loss")
-            self.last_avg_loss_dict = vals
+            self._pending_acc = state.metric_acc  # device array, no sync
+            self._avg_cache = None
             self.accumulated_steps = 0
         return state
+
+    @staticmethod
+    def _is_prepared(batch) -> bool:
+        v = batch.get("dsm", batch.get("points"))
+        return v is not None and not isinstance(v, np.ndarray)
+
+    def _averages(self):
+        if self._avg_cache is None:
+            if self._pending_acc is None:
+                self._avg_cache = dict.fromkeys(METRIC_KEYS, 0.0)
+            else:
+                acc = np.asarray(self._pending_acc) / self.optimize_every
+                self._avg_cache = dict(zip(METRIC_KEYS, acc.tolist()))
+        return self._avg_cache
+
+    @property
+    def last_avg_loss(self) -> float:
+        return self._averages()["loss"]
+
+    @property
+    def last_avg_loss_dict(self) -> Dict[str, float]:
+        d = dict(self._averages())
+        d.pop("loss")
+        return d
 
     def eval_step(self, state: TrainState, batch) -> Dict[str, float]:
         batch = self._device_batch(batch)

@@ -178,11 +178,22 @@ def main(overrides=None):
         wandb.log({f"nDSM/{k}/{k2}": v2 for k, v in eval_dict.items()
                    for k2, v2 in v.items()}, step=n_iter)
 
-    # training loop (reference train.py:148-190)
-    while n_iter < cfg_training["max_iteration"]:
-        for batch in loaders["train"]:
+    # training loop (reference train.py:148-190). Batches are PREPARED one
+    # ahead: batch k+1's host->device upload overlaps batch k's compute
+    # (the upload is the measured bottleneck on relay-attached chips).
+    def _prepared_batches(loader):
+        nxt = None
+        for batch in loader:
             if not batch["patch_valid"].any():
                 continue
+            cur, nxt = nxt, trainer.prepare_batch(batch)
+            if cur is not None:
+                yield cur
+        if nxt is not None:
+            yield nxt
+
+    while n_iter < cfg_training["max_iteration"]:
+        for batch in _prepared_batches(loaders["train"]):
             state = trainer.train_step(state, batch, scheduler.lr)
             if trainer.accumulated_steps != 0:
                 continue
