@@ -80,6 +80,7 @@ class TestFusedLevelKernel:
                                    ct, pt, tmask, mask, level_reso, reso)
         ref_p, ref_c = _level_ref(plane, c_last, weights, xy,
                                   jnp.asarray(acell), mask, level_reso, reso)
+        # contract: pad rows (in-chunk AND tail chunks) are exact in-kernel zeros
         np.testing.assert_allclose(np.asarray(got_c), np.asarray(ref_c),
                                    rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(np.asarray(got_p), np.asarray(ref_p),

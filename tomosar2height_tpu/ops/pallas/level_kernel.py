@@ -94,6 +94,7 @@ def _level_kernel(
     plane_ref,   # HBM (ANY): (B, R, R, Fp)
     aux_ref,     # VMEM block (1, 1, 1, 2*PCHUNK) f32: [x | y] packed coords
     cells_ref,   # VMEM block (1, 1, 1, CL) int32: finest Morton ids (CL >= PCHUNK)
+    mrow_ref,    # VMEM block (1, 1, 1, CL) f32: point validity (1/0)
     clast_ref,   # VMEM block (1, PCHUNK, Flp): previous point features
     w_in_ref,    # VMEM (Fp, Hp)
     b_in_ref,    # VMEM (1, Hp)
@@ -174,6 +175,13 @@ def _level_kernel(
         acc_ref[:] = jnp.zeros_like(acc_ref)
         cnt_ref[:] = jnp.zeros_like(cnt_ref)
 
+    # tail chunks (t == n_tiles sentinel) skip the compute block entirely;
+    # zero their point-output block so every c_out row is DEFINED (garbage /
+    # NaN tails would poison the ref-vjp backward via c_last x d_o terms)
+    @pl.when(~active)
+    def _():
+        cout_ref[0] = jnp.zeros_like(cout_ref[0])
+
     @pl.when(active)
     def _():
         dt = pout_ref.dtype
@@ -222,6 +230,12 @@ def _level_kernel(
             clast_ref[0], w_c_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
         ).astype(dt) + b_c_ref[:]
+        # in-kernel masking: pad rows write exact zeros (the XLA-side where
+        # pass cost ~0.1 ms/level at batch 8); f32 (1,PCHUNK)->(PCHUNK,1)
+        # reshape is a legal 32-bit minor-dim insertion
+        m_col = jax.lax.slice(mrow_ref[0, 0], (0, 0),
+                              (1, PCHUNK)).reshape(PCHUNK, 1)
+        o = o * m_col.astype(dt)
         cout_ref[0] = o
 
         # --- scatter-mean accumulation (one-hot-transpose matmul) -----------
@@ -315,8 +329,8 @@ def empty_tile_mask(tile_offsets: jnp.ndarray, reso: int, finest: int):
     return m.reshape(b, reso, reso)
 
 
-def _fused_level_impl(plane, aux, cells_row, c_last, ct, pt, weights,
-                      reso: int, finest: int, interpret: bool):
+def _fused_level_impl(plane, aux, cells_row, mask_row, c_last, ct, pt,
+                      weights, reso: int, finest: int, interpret: bool):
     """Run the fused level kernel. All inputs pre-padded to lane multiples.
 
     Returns (plane_out (B, R, R, Fp), c_out (B, Npad, Fp)) — UNMASKED: empty
@@ -352,6 +366,7 @@ def _fused_level_impl(plane, aux, cells_row, c_last, ct, pt, weights,
             pl.BlockSpec((1, 1, 1, 2 * PCHUNK),
                          lambda b_, k_, *_: (b_, k_, 0, 0)),
             pl.BlockSpec((1, 1, 1, cl), lambda b_, k_, *_: (b_, k_, 0, 0)),
+            pl.BlockSpec((1, 1, 1, cl), lambda b_, k_, *_: (b_, k_, 0, 0)),
             pl.BlockSpec((1, PCHUNK, flp), lambda b_, k_, *_: (b_, k_, 0)),
             pl.BlockSpec((fp, hp), lambda *_: (0, 0)),            # w_in
             pl.BlockSpec((1, hp), lambda *_: (0, 0)),             # b_in
@@ -386,8 +401,8 @@ def _fused_level_impl(plane, aux, cells_row, c_last, ct, pt, weights,
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(ct, pt, plane, aux, cells_row, c_last, w_in, b_in, w_out, b_out,
-      w_c, b_c, jnp.asarray(_TILE_PERM_MAT, dt))
+    )(ct, pt, plane, aux, cells_row, mask_row, c_last, w_in, b_in, w_out,
+      b_out, w_c, b_c, jnp.asarray(_TILE_PERM_MAT, dt))
     return plane_out, c_out
 
 
@@ -399,6 +414,16 @@ def make_aux_packed(xy: jnp.ndarray) -> jnp.ndarray:
     x = xy[..., 0].astype(jnp.float32).reshape(b, nc, 1, PCHUNK)
     y = xy[..., 1].astype(jnp.float32).reshape(b, nc, 1, PCHUNK)
     return jnp.concatenate([x, y], axis=-1)
+
+
+def make_mask_row(mask: jnp.ndarray) -> jnp.ndarray:
+    """(B, Npad) bool -> (B, Npad/PCHUNK, 1, max(PCHUNK,128)) f32 validity."""
+    b, npad = mask.shape
+    nc = npad // PCHUNK
+    out = mask.astype(jnp.float32).reshape(b, nc, 1, PCHUNK)
+    if PCHUNK < LANE:
+        out = jnp.pad(out, ((0, 0), (0, 0), (0, 0), (0, LANE - PCHUNK)))
+    return out
 
 
 def make_cells_row(cells: jnp.ndarray) -> jnp.ndarray:
@@ -474,11 +499,11 @@ def fused_level(plane, c_last, weights, aux, cells_row, ct, pt, tmask, mask,
     clast_p = _pad_lanes(c_last)
     interpret = jax.default_backend() != "tpu"
     plane_out, c_out = _fused_level_impl(
-        plane_p, aux, cells_row, clast_p, ct, pt, weights_p, reso, finest,
-        interpret)
+        plane_p, aux, cells_row, make_mask_row(mask), clast_p, ct, pt,
+        weights_p, reso, finest, interpret)
     plane_out = jnp.where(tmask[..., None], plane_out[..., :f], 0)
-    c_out = jnp.where(mask[..., None], c_out[..., :f], 0)
-    return plane_out, c_out
+    # c_out rows are masked IN-KERNEL (exact zeros on pad rows)
+    return plane_out, c_out[..., :f]
 
 
 def _pad_weights(weights, fp):
