@@ -102,7 +102,10 @@ def e2e_bench(batch: int = 4, dtype: str = "float32", iters: int = 3,
                        half_blend_percent=cfg["dsm_generation"].get("half_blend_percent"),
                        crs_epsg=cfg["dsm_generation"].get("crs_epsg"),
                        use_cloud=True, use_image=False, mesh=None,
-                       device_blend=device_blend)
+                       device_blend=device_blend,
+                       # serving wire format: f16 halves the dominant
+                       # stitched-raster download (<= ~5 cm quantization)
+                       wire_dtype="float16" if device_blend else "float32")
     out_tiff = os.path.join(root, "bench_dsm.tiff")
     runs = []
     for _ in range(iters + 1):  # +1 warmup/compile iteration

@@ -60,7 +60,8 @@ def _tiny_model():
     )
 
 
-def _generate(cfg, tmp_path, mesh, tag, device_blend=False):
+def _generate(cfg, tmp_path, mesh, tag, device_blend=False,
+              wire_dtype="float32"):
     ds = TomoSARDataset("vis", cfg["dataset"])
     loader = PatchLoader(ds, batch_size=8,
                          bucket_sizes=cfg["dataset"]["points"]["bucket_sizes"],
@@ -72,7 +73,7 @@ def _generate(cfg, tmp_path, mesh, tag, device_blend=False):
     gen = DSMGenerator(model, lambda: params, loader,
                        dsm_pixel_size=[1.0, 1.0], half_blend_percent=[0.5, 0.5],
                        use_cloud=True, use_image=False, mesh=mesh,
-                       device_blend=device_blend)
+                       device_blend=device_blend, wire_dtype=wire_dtype)
     out = str(tmp_path / f"dsm_{tag}.tiff")
     writer = gen.generate_dsm(out)
     return writer.get_data()
@@ -101,6 +102,18 @@ class TestShardedInference:
         dev = _generate(cfg, tmp_path, None, "devblend", device_blend=True)
         assert host.shape == dev.shape
         np.testing.assert_allclose(dev, host, atol=2e-3, rtol=1e-4)
+
+    def test_device_blend_f16_wire(self, city, tmp_path):
+        """The f16 wire format (bench serving default) quantizes the
+        stitched raster by <= 2^-11 relative — a few cm at building
+        heights, far below the model's accuracy floor."""
+        cfg, root = city
+        host = _generate(cfg, tmp_path, None, "hostblend2")
+        dev = _generate(cfg, tmp_path, None, "devblend16", device_blend=True,
+                        wire_dtype="float16")
+        scale = max(1.0, float(np.nanmax(np.abs(host))))
+        np.testing.assert_allclose(dev, host, atol=2e-3 + scale * 2 ** -10,
+                                   rtol=0)
 
     def test_batch_divisibility_asserted(self, city, tmp_path):
         cfg, root = city

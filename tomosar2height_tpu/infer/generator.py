@@ -70,6 +70,7 @@ class DSMGenerator:
         mesh=None,
         pipeline_depth: int = 3,
         device_blend: bool = False,
+        wire_dtype: str = "float32",
     ):
         """
         Args:
@@ -122,13 +123,19 @@ class DSMGenerator:
         # weighted patches — sub-mm effect); host f64 stays the parity
         # default and the only multi-chip path for now.
         self.device_blend = bool(device_blend) and mesh is None
+        # wire format of the stitched-raster download: float16 halves the
+        # dominant device->host transfer (~17 MB/s relay); quantization is
+        # <= ~5 cm at 100 m heights — serving-grade, not the parity default.
+        self.wire_dtype = np.dtype(wire_dtype)
         self._forward = jax.jit(self._forward_impl)
         import jax.numpy as jnp
 
+        wdt = jnp.float16 if self.wire_dtype == np.float16 else jnp.float32
         self._blend_step = jax.jit(self._blend_step_impl,
                                    donate_argnums=(0, 1))
         self._blend_finalize = jax.jit(
-            lambda d, w: jnp.where(w > 0, jnp.maximum(d / w, 0.0), jnp.nan))
+            lambda d, w: jnp.where(w > 0, jnp.maximum(d / w, 0.0),
+                                   jnp.nan).astype(wdt))
 
     def _blend_step_impl(self, dsm_dev, wgt_dev, params, points, mask, image,
                          cells, offsets, rows0, cols0, valid):
@@ -236,6 +243,15 @@ class DSMGenerator:
             rows0[i], cols0[i] = t_row, l_col
         return rows0, cols0, valid
 
+    def _upload_batch(self, batch):
+        """Start the async host->device transfer of one batch's tensors.
+        Issued one batch AHEAD of its _blend_step so the relay upload overlaps
+        the previous batch's device compute (same pattern as
+        Trainer.prepare_batch — the upload is otherwise serial with compute
+        on a relay-attached chip, RESULTS.md r03)."""
+        keys = ("points", "point_mask", "image", "cell", "cell_offsets")
+        return {k: jax.device_put(batch[k]) for k in keys if k in batch}
+
     def _generate_dsm_device_blend(self, tiff_data, params, start):
         import jax.numpy as jnp
 
@@ -245,17 +261,14 @@ class DSMGenerator:
         wgt_dev = jnp.zeros((h, w), jnp.float32)
         n_patches = 0
         it = iter(self.data_loader)
-        while True:
+        t0 = time.perf_counter()
+        cur = next(it, None)
+        t_loader += time.perf_counter() - t0
+        dev = self._upload_batch(cur) if cur is not None else None
+        while cur is not None:
             t0 = time.perf_counter()
-            batch = next(it, None)
-            t_loader += time.perf_counter() - t0
-            if batch is None:
-                break
-            t0 = time.perf_counter()
-            rows0, cols0, valid = self._patch_origins(tiff_data, batch)
+            rows0, cols0, valid = self._patch_origins(tiff_data, cur)
             n_patches += int(valid.sum())
-            dev = {k: batch[k] for k in ("points", "point_mask", "image",
-                                         "cell", "cell_offsets") if k in batch}
             dsm_dev, wgt_dev = self._blend_step(
                 dsm_dev, wgt_dev, params,
                 dev.get("points") if self.use_cloud else None,
@@ -265,13 +278,24 @@ class DSMGenerator:
                 dev.get("cell_offsets") if self.use_cloud else None,
                 rows0, cols0, valid.astype(np.float32))
             t_dispatch += time.perf_counter() - t0
+            t0 = time.perf_counter()
+            cur = next(it, None)
+            t_loader += time.perf_counter() - t0
+            if cur is not None:
+                t0 = time.perf_counter()
+                dev = self._upload_batch(cur)  # overlaps current blend step
+                t_dispatch += time.perf_counter() - t0
+        # drain: a 4-byte fetch syncs the whole dependency chain, separating
+        # device compute time from the stitched-raster wire transfer below
         t0 = time.perf_counter()
-        out = np.asarray(self._blend_finalize(dsm_dev, wgt_dev),
-                         dtype=np.float64)  # ONE fetch per scene
-        t_fetch = time.perf_counter() - t0
+        float(jnp.max(wgt_dev[:1, :1]))
+        t_drain = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = np.asarray(self._blend_finalize(dsm_dev, wgt_dev))
+        t_fetch = time.perf_counter() - t0  # ONE fetch per scene
 
         t0 = time.perf_counter()
-        tiff_data.set_data(np.maximum(out, 0.0).astype(np.float32))
+        tiff_data.set_data(np.maximum(out.astype(np.float32), 0.0))
         writer = RasterWriter(tiff_data)
         writer.write_to_file(self._save_to)
         t_finalize = time.perf_counter() - t0
@@ -279,17 +303,18 @@ class DSMGenerator:
         self.last_stats = {
             "total_s": total, "n_patches": n_patches,
             "loader_s": t_loader, "dispatch_s": t_dispatch,
-            "device_wait_blend_s": t_fetch, "fetch_wait_s": t_fetch,
+            "device_wait_blend_s": t_drain + t_fetch,
+            "drain_s": t_drain, "fetch_wait_s": t_fetch,
             "blend_cpu_s": 0.0, "fetch_thread_s": t_fetch,
             "finalize_write_s": t_finalize,
             "patches_per_s": n_patches / total if total > 0 else 0.0,
         }
         log.info(
             "DSM Generation time: %.2f s (%d patches, %.2f tiles/s e2e "
-            "device-blend; loader %.2f | dispatch %.2f | device-wait+fetch "
-            "%.2f | write %.2f)",
+            "device-blend; loader %.2f | dispatch %.2f | drain %.2f | "
+            "raster fetch %.2f | write %.2f)",
             total, n_patches, self.last_stats["patches_per_s"],
-            t_loader, t_dispatch, t_fetch, t_finalize,
+            t_loader, t_dispatch, t_drain, t_fetch, t_finalize,
         )
         return writer
 
