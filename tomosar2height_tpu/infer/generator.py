@@ -243,15 +243,6 @@ class DSMGenerator:
             rows0[i], cols0[i] = t_row, l_col
         return rows0, cols0, valid
 
-    def _upload_batch(self, batch):
-        """Start the async host->device transfer of one batch's tensors.
-        Issued one batch AHEAD of its _blend_step so the relay upload overlaps
-        the previous batch's device compute (same pattern as
-        Trainer.prepare_batch — the upload is otherwise serial with compute
-        on a relay-attached chip, RESULTS.md r03)."""
-        keys = ("points", "point_mask", "image", "cell", "cell_offsets")
-        return {k: jax.device_put(batch[k]) for k in keys if k in batch}
-
     def _generate_dsm_device_blend(self, tiff_data, params, start):
         import jax.numpy as jnp
 
@@ -261,30 +252,30 @@ class DSMGenerator:
         wgt_dev = jnp.zeros((h, w), jnp.float32)
         n_patches = 0
         it = iter(self.data_loader)
-        t0 = time.perf_counter()
-        cur = next(it, None)
-        t_loader += time.perf_counter() - t0
-        dev = self._upload_batch(cur) if cur is not None else None
-        while cur is not None:
+        # NOTE: batch tensors are passed to the jitted call as host numpy —
+        # the jit runtime ships all args with the execute message. An
+        # explicit device_put-one-batch-ahead variant was A/B-measured 3.3x
+        # SLOWER end-to-end through the axon relay (26.1 -> 8.0 tiles/s on
+        # the 48-patch city: per-array puts serialize against the compute
+        # stream), so uploads deliberately stay inline (RESULTS.md r03).
+        while True:
+            t0 = time.perf_counter()
+            cur = next(it, None)
+            t_loader += time.perf_counter() - t0
+            if cur is None:
+                break
             t0 = time.perf_counter()
             rows0, cols0, valid = self._patch_origins(tiff_data, cur)
             n_patches += int(valid.sum())
             dsm_dev, wgt_dev = self._blend_step(
                 dsm_dev, wgt_dev, params,
-                dev.get("points") if self.use_cloud else None,
-                dev.get("point_mask") if self.use_cloud else None,
-                dev.get("image") if self.use_image else None,
-                dev.get("cell") if self.use_cloud else None,
-                dev.get("cell_offsets") if self.use_cloud else None,
+                cur.get("points") if self.use_cloud else None,
+                cur.get("point_mask") if self.use_cloud else None,
+                cur.get("image") if self.use_image else None,
+                cur.get("cell") if self.use_cloud else None,
+                cur.get("cell_offsets") if self.use_cloud else None,
                 rows0, cols0, valid.astype(np.float32))
             t_dispatch += time.perf_counter() - t0
-            t0 = time.perf_counter()
-            cur = next(it, None)
-            t_loader += time.perf_counter() - t0
-            if cur is not None:
-                t0 = time.perf_counter()
-                dev = self._upload_batch(cur)  # overlaps current blend step
-                t_dispatch += time.perf_counter() - t0
         # drain: a 4-byte fetch syncs the whole dependency chain, separating
         # device compute time from the stitched-raster wire transfer below
         t0 = time.perf_counter()

@@ -172,7 +172,12 @@ def _gather_kernel(
             + (row_iota == c00 + WIN_X).astype(jnp.float32) * (fy * (1 - fx))
             + (row_iota == c00 + WIN_X + 1).astype(jnp.float32) * (fy * fx)
         )
-        # (WIN_FLAT, CHUNK)^T @ (WIN_FLAT, Fp) -> (CHUNK, Fp) on the MXU
+        # (WIN_FLAT, CHUNK)^T @ (WIN_FLAT, Fp) -> (CHUNK, Fp) on the MXU.
+        # With a bf16 plane the one-hot bilinear weights are truncated to
+        # bf16 for the contraction (sample positions quantize by ~2^-8) —
+        # an accepted serving approximation (ADVICE r02); the bf16 fused
+        # path is tolerance-gated against the XLA reference in
+        # tests/test_fused_model.py / tests/test_fused_level.py.
         sampled = jax.lax.dot_general(
             w_t.astype(win_ref.dtype), win_ref[wslot],
             dimension_numbers=(((0,), (0,)), ((), ())),

@@ -210,6 +210,10 @@ def _level_kernel(
             + (row_iota == c00 + WIN_X + 1).astype(jnp.float32) * (fy * fx)
         )
         win = win_ref[wslot].reshape(WIN_FLAT, win_ref.shape[-1])
+        # bf16 runs truncate the bilinear weights to bf16 for the MXU
+        # contraction (~2^-8 sample-position quantization) — accepted serving
+        # approximation (ADVICE r02), tolerance-gated in
+        # tests/test_fused_level.py::test_bf16_tolerance.
         sampled = jax.lax.dot_general(
             w_t.astype(dt), win,
             dimension_numbers=(((0,), (0,)), ((), ())),

@@ -220,7 +220,11 @@ class Trainer:
                 continue
             v = batch[k]
             if k == "dsm" and v.dtype != self.wire_dsm_dtype:
-                v = v.astype(self.wire_dsm_dtype)
+                # clamp to the wire dtype's finite range: garbage targets in
+                # INVALID (masked) patches must not become inf on the wire
+                # (0 * inf = nan would poison the masked loss)
+                fi = np.finfo(self.wire_dsm_dtype)
+                v = np.clip(v, fi.min, fi.max).astype(self.wire_dsm_dtype)
             out[k] = v
         return shard_batch(out, self.mesh)
 
