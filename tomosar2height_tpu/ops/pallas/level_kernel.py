@@ -105,9 +105,10 @@ def _level_kernel(
     perm_ref,    # VMEM (TILE_CELLS, TILE_CELLS) f32
     pout_ref,    # VMEM out block (1, TILE_SIDE, TILE_SIDE, Fp)
     cout_ref,    # VMEM out block (1, PCHUNK, Fp)
+    cntout_ref,  # VMEM out block (1, 1, 1, TILE_CELLS) f32: per-cell counts
     win_ref,     # scratch VMEM (2, WIN_Y, WIN_X, Fp)
     acc_ref,     # scratch VMEM (TILE_CELLS, Fp) f32
-    cnt_ref,     # scratch VMEM (TILE_CELLS, 1) f32
+    cnt_ref,     # scratch VMEM (1, TILE_CELLS) f32
     slot_ref,    # scratch SMEM (1,) int32: slot holding the current window
     sem_win,     # DMA sems (2,)
     *,
@@ -247,19 +248,28 @@ def _level_kernel(
         cells = jax.lax.slice(cells, (0, 0), (1, PCHUNK))
         local = (cells >> shift) - t * TILE_CELLS
         cell_iota = jax.lax.broadcasted_iota(jnp.int32, (TILE_CELLS, PCHUNK), 0)
-        m = (local == cell_iota)               # sentinel rows match no cell
+        m = (local == cell_iota).astype(dt)    # sentinel rows match no cell
         acc_ref[:] += jax.lax.dot_general(
-            m.astype(dt), o, dimension_numbers=(((1,), (0,)), ((), ())),
+            m, o, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
         )
-        cnt_ref[:] += jnp.sum(m.astype(jnp.float32), axis=1)[:, None]
+        # per-cell counts as a (1, PCHUNK) x (TILE_CELLS, PCHUNK)^T matmul:
+        # lands lane-oriented so the counts OUTPUT block (consumed by the
+        # fused backward's scatter-mean transpose) needs no transpose
+        cnt_ref[:] += jax.lax.dot_general(
+            jnp.ones((1, PCHUNK), dt), m,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
 
         # --- flush the tile's plane block on its last chunk -----------------
         t_next = jnp.where(k + 1 < nc, ct_ref[b, jnp.minimum(k + 1, nc - 1)], -1)
 
         @pl.when((k == nc - 1) | (t_next != t))
         def _():
-            mean = acc_ref[:] / jnp.maximum(cnt_ref[:], 1.0)
+            cntout_ref[0, 0] = cnt_ref[:]
+            cnt_col = cnt_ref[:].reshape(TILE_CELLS, 1)
+            mean = acc_ref[:] / jnp.maximum(cnt_col, 1.0)
             row_major = jax.lax.dot_general(
                 perm_ref[:], mean, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec,
@@ -337,9 +347,10 @@ def _fused_level_impl(plane, aux, cells_row, mask_row, c_last, ct, pt,
                       weights, reso: int, finest: int, interpret: bool):
     """Run the fused level kernel. All inputs pre-padded to lane multiples.
 
-    Returns (plane_out (B, R, R, Fp), c_out (B, Npad, Fp)) — UNMASKED: empty
-    tiles and tail/pad rows hold garbage (callers apply empty_tile_mask and
-    the point mask).
+    Returns (plane_out (B, R, R, Fp), c_out (B, Npad, Fp), counts
+    (B, T, 1, 256) f32 per-cell point counts) — UNMASKED: empty tiles and
+    tail/pad rows hold garbage (callers apply empty_tile_mask and the point
+    mask; unvisited tiles' counts are garbage too).
     """
     w_in, b_in, w_out, b_out, w_c, b_c = weights
     b, r, _, fp = plane.shape
@@ -383,11 +394,15 @@ def _fused_level_impl(plane, aux, cells_row, mask_row, c_last, ct, pt,
         out_specs=[
             pl.BlockSpec((1, TILE_SIDE, TILE_SIDE, fp), pout_index),
             pl.BlockSpec((1, PCHUNK, fp), lambda b_, k_, *_: (b_, k_, 0)),
+            pl.BlockSpec((1, 1, 1, TILE_CELLS),
+                         lambda b_, k_, ct_r, pt_r: (
+                             b_, jnp.minimum(ct_r[b_, k_], n_tiles - 1),
+                             0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, WIN_Y, min(WIN_X, r), fp), dt),
             pltpu.VMEM((TILE_CELLS, fp), jnp.float32),
-            pltpu.VMEM((TILE_CELLS, 1), jnp.float32),
+            pltpu.VMEM((1, TILE_CELLS), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -396,18 +411,19 @@ def _fused_level_impl(plane, aux, cells_row, mask_row, c_last, ct, pt,
         _level_kernel, reso=reso, bits=bits, n_tiles=n_tiles, nb=b,
         shift=shift, f32_precision=dt == jnp.float32,
     )
-    plane_out, c_out = pl.pallas_call(
+    plane_out, c_out, counts = pl.pallas_call(
         kernel,
         out_shape=[
             jax.ShapeDtypeStruct((b, r, r, fp), dt),
             jax.ShapeDtypeStruct((b, npad, fp), dt),
+            jax.ShapeDtypeStruct((b, n_tiles, 1, TILE_CELLS), jnp.float32),
         ],
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(ct, pt, plane, aux, cells_row, mask_row, c_last, w_in, b_in, w_out,
       b_out, w_c, b_c, jnp.asarray(_TILE_PERM_MAT, dt))
-    return plane_out, c_out
+    return plane_out, c_out, counts
 
 
 def make_aux_packed(xy: jnp.ndarray) -> jnp.ndarray:
@@ -494,20 +510,29 @@ def fused_level(plane, c_last, weights, aux, cells_row, ct, pt, tmask, mask,
         plane_out (B, R, R, F) — scatter-mean of the new point features
         (empty cells/tiles 0); c_out (B, Npad, F) — new point features
         (masked rows 0). Differentiable in plane, c_last and weights;
-        backward is the XLA composition's vjp (exact transpose of the math).
+        backward is the fused chunk-grid kernel (level_bwd_kernel.py) by
+        default, or the XLA composition's vjp with
+        ``set_level_bwd_impl('ref')``.
     """
     f = weights[2].shape[-1]
-    fl = c_last.shape[-1]
+    plane_out, c_out, _ = _fused_level_padded(
+        plane, c_last, weights, aux, cells_row, ct, pt, mask, reso, finest)
+    plane_out = jnp.where(tmask[..., None], plane_out[..., :f], 0)
+    # c_out rows are masked IN-KERNEL (exact zeros on pad rows)
+    return plane_out, c_out[..., :f]
+
+
+def _fused_level_padded(plane, c_last, weights, aux, cells_row, ct, pt, mask,
+                        reso, finest):
+    """Pad to lane multiples and run the kernel; returns PADDED outputs plus
+    the per-cell counts (B, T, 1, 256) the fused backward consumes."""
     plane_p = _pad_lanes(plane)
     weights_p = _pad_weights(weights, plane_p.shape[-1])
     clast_p = _pad_lanes(c_last)
     interpret = jax.default_backend() != "tpu"
-    plane_out, c_out = _fused_level_impl(
+    return _fused_level_impl(
         plane_p, aux, cells_row, make_mask_row(mask), clast_p, ct, pt,
         weights_p, reso, finest, interpret)
-    plane_out = jnp.where(tmask[..., None], plane_out[..., :f], 0)
-    # c_out rows are masked IN-KERNEL (exact zeros on pad rows)
-    return plane_out, c_out[..., :f]
 
 
 def _pad_weights(weights, fp):
@@ -532,26 +557,74 @@ def _xy_from_aux(aux):
     return jnp.stack([x, y], axis=-1)
 
 
+# Backward implementation selector. 'fused' = the chunk-grid Pallas backward
+# (level_bwd_kernel.py); 'ref' = the XLA reference composition's vjp (debug /
+# numerical cross-check). Read at TRACE time: like blocks.FAST_CONV, call
+# set_level_bwd_impl before the first jit compilation of a training step —
+# already-compiled shapes keep the backend they were traced with.
+_BWD_IMPL = "fused"
+
+
+def set_level_bwd_impl(impl: str) -> None:
+    global _BWD_IMPL
+    assert impl in ("fused", "ref"), impl
+    _BWD_IMPL = impl
+
+
 def _fused_level_fwd(plane, c_last, weights, aux, cells_row, ct, pt, tmask,
                      mask, reso, finest):
-    out = fused_level(plane, c_last, weights, aux, cells_row, ct, pt, tmask,
-                      mask, reso, finest)
-    return out, (plane, c_last, weights, aux, cells_row, mask)
+    f = weights[2].shape[-1]
+    plane_out, c_out, counts = _fused_level_padded(
+        plane, c_last, weights, aux, cells_row, ct, pt, mask, reso, finest)
+    plane_out = jnp.where(tmask[..., None], plane_out[..., :f], 0)
+    out = (plane_out, c_out[..., :f])
+    res = (plane, c_last, weights, aux, cells_row, ct, pt, tmask, mask, counts)
+    return out, res
 
 
 def _fused_level_bwd(reso, finest, res, g):
-    plane, c_last, weights, aux, cells_row, mask = res
+    plane, c_last, weights, aux, cells_row, ct, pt, tmask, mask, counts = res
     g_plane, g_c = g
-    xy = _xy_from_aux(aux)
-    b, nc = cells_row.shape[0], cells_row.shape[1]
-    cells = cells_row[..., :PCHUNK].reshape(b, nc * PCHUNK)
+    dt = plane.dtype
+    if _BWD_IMPL == "ref":
+        xy = _xy_from_aux(aux)
+        b, nc = cells_row.shape[0], cells_row.shape[1]
+        cells = cells_row[..., :PCHUNK].reshape(b, nc * PCHUNK)
 
-    def ref(p, cl, w):
-        return _level_ref(p, cl, w, xy, cells, mask, reso, finest)
+        def ref(p, cl, w):
+            return _level_ref(p, cl, w, xy, cells, mask, reso, finest)
 
-    _, vjp = jax.vjp(ref, plane, c_last, weights)
-    dp, dcl, dw = vjp((g_plane.astype(plane.dtype), g_c.astype(plane.dtype)))
-    return dp, dcl, dw, None, None, None, None, None, None
+        _, vjp = jax.vjp(ref, plane, c_last, weights)
+        dp, dcl, dw = vjp((g_plane.astype(dt), g_c.astype(dt)))
+        return dp, dcl, dw, None, None, None, None, None, None
+
+    from tomosar2height_tpu.ops.pallas.level_bwd_kernel import (
+        fused_level_bwd_call,
+        windows_to_plane,
+    )
+
+    w_in, b_in, w_out, b_out, w_c, b_c = weights
+    plane_p = _pad_lanes(plane)
+    weights_p = _pad_weights(weights, plane_p.shape[-1])
+    clast_p = _pad_lanes(c_last)
+    g_plane_p = _pad_lanes(g_plane.astype(dt))
+    g_c_p = _pad_lanes(g_c.astype(dt))
+    interpret = jax.default_backend() != "tpu"
+    d_win, dcl_p, dwi, dbi, dwo, dbo, dwc = fused_level_bwd_call(
+        plane_p, g_plane_p, counts, aux, cells_row, make_mask_row(mask),
+        clast_p, g_c_p, weights_p, ct, pt, reso, finest, interpret)
+    dp = windows_to_plane(d_win, tmask, reso)[..., :plane.shape[-1]]
+    dcl = dcl_p[..., :c_last.shape[-1]].astype(c_last.dtype)
+    dw = (
+        dwi[:w_in.shape[0], :w_in.shape[1]].astype(w_in.dtype),
+        dbi[0, :b_in.shape[0]].astype(b_in.dtype),
+        dwo[:w_out.shape[0], :w_out.shape[1]].astype(w_out.dtype),
+        dbo[0, :b_out.shape[0]].astype(b_out.dtype),
+        dwc[:w_c.shape[0], :w_c.shape[1]].astype(w_c.dtype),
+        # b_c and b_out both add into o: identical gradients
+        dbo[0, :b_c.shape[0]].astype(b_c.dtype),
+    )
+    return dp.astype(dt), dcl, dw, None, None, None, None, None, None
 
 
 fused_level.defvjp(_fused_level_fwd, _fused_level_bwd)
