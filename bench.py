@@ -122,17 +122,20 @@ def main(batch: int | None = None, n_points: int = 16384, iters: int = 40, train
          dtype: str = "bfloat16", scan: int = 0, sorted_path: bool = False,
          e2e: bool = False, fused: bool | str | None = None, big: bool = False,
          device_blend: bool = False):
-    # mode-aware defaults (r03): serving = fused2 chunk-grid kernels at batch
-    # 8 — per-tile kernel cost is batch-independent and convs amortize, so
-    # throughput rises monotonically to b8 (74/96/102/99 at b1/4/8/16) where
-    # the plain path peaked at b1 (94.7) and cliffed at b16 (54). The e2e and
-    # train pipelines keep batch 4 (host-sync amortization).
+    # mode-aware defaults (r03): serving AND training = fused2 chunk-grid
+    # kernels at batch 8 — per-tile kernel cost is batch-independent and
+    # convs amortize, so throughput rises monotonically to b8 (serving
+    # 74/96/102/99 at b1/4/8/16; the plain path peaked at b1=94.7 and
+    # cliffed at b16=54). Training joined fused2 once the FULL backward
+    # stack fused (level_bwd_kernel + pool2/scatter_plane2 transposes):
+    # 25.5/32.6 p/s at b4/b8 vs plain 16.2/18.8. E2e keeps batch 4
+    # (host-transfer bound; device gains invisible behind the relay wire).
     if fused is None:
-        fused = False if (train or e2e) else "fused2"
+        fused = False if e2e else "fused2"
     elif fused == "none":
         fused = False
     if batch is None:
-        batch = 4 if (e2e or train) else (8 if fused else 1)
+        batch = 4 if e2e else (8 if fused else 1)
     if e2e:
         stats = e2e_bench(batch, dtype, sorted_path=sorted_path, big=big,
                           fused=fused, device_blend=device_blend)

@@ -135,6 +135,9 @@ def capture(train: bool, dtype: str, fused: bool, out_dir: str, batch: int = 4):
         batch = {"points": np.asarray(pts), "point_mask": np.asarray(mask),
                  "patch_valid": np.ones((batch,), bool),
                  "dsm": rng.uniform(0, 30, (batch, 512, 512)).astype(np.float32)}
+        if cells is not None:  # without these the model silently falls back
+            batch["cell"] = np.asarray(cells)  # to the unsorted plain path
+            batch["cell_offsets"] = np.asarray(offsets)
         state = trainer.init_state(jax.random.PRNGKey(0), batch)
         state = trainer.train_step(state, batch, 1e-4)  # compile
         import jax.profiler

@@ -207,7 +207,9 @@ def _level_bwd_kernel(
             sampled, w_in_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
         ).astype(dt) + b_in_ref[:]
-        relu_m = (pre > 0).astype(dt)
+        # bf16 cmpf is unsupported on-target; f32 upcast is exact so the
+        # mask is identical to the forward's max(pre, 0) support
+        relu_m = (pre.astype(jnp.float32) > 0).astype(dt)
         h = pre * relu_m
 
         # --- d_o: c_out cotangent + scatter-mean transpose gather -----------

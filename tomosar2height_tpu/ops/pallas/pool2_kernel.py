@@ -116,6 +116,8 @@ def _reduce_kernel(
             nonempty = cnt_ref[:] > 0
             if kind == "max":
                 cell = jnp.where(nonempty, acc_ref[:], 0.0)
+            elif kind == "sum":
+                cell = acc_ref[:]
             else:
                 cell = acc_ref[:] / jnp.maximum(cnt_ref[:], 1.0)
             out_ref[0, 0] = cell.astype(dt)
@@ -177,6 +179,37 @@ def chunkgrid_pool(values, cells_row, ct, n_tiles: int, kind: str,
     return _chunkgrid_pool_jit(values, cells_row, ct, n_tiles, kind, interpret)
 
 
+def _gather_cells_call(cellv, cells_row, ct, n_tiles: int, interpret: bool):
+    """Gather-back half only: per-point value of its cell from a
+    (B, n_tiles, TILE_CELLS, Fp) Morton cell-value array (tail rows garbage)."""
+    b, _, _, fp = cellv.shape
+    nc = ct.shape[1]
+    cl = cells_row.shape[-1]
+    dt = cellv.dtype
+    gather_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nc),
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, TILE_CELLS, fp),
+                lambda b_, k_, ct_r: (b_, jnp.minimum(ct_r[b_, k_],
+                                                      n_tiles - 1), 0, 0)),
+            pl.BlockSpec((1, 1, 1, cl), lambda b_, k_, *_: (b_, k_, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, PCHUNK, fp),
+                               lambda b_, k_, *_: (b_, k_, 0)),
+        scratch_shapes=[],
+    )
+    return pl.pallas_call(
+        functools.partial(_gather_kernel, n_tiles=n_tiles,
+                          f32_precision=dt == jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, nc * PCHUNK, fp), dt),
+        grid_spec=gather_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(ct, cellv, cells_row)
+
+
 @functools.partial(jax.jit, static_argnames=("n_tiles", "kind", "interpret"))
 def _chunkgrid_pool_jit(values, cells_row, ct, n_tiles, kind, interpret):
     b, npad, f = values.shape
@@ -213,27 +246,7 @@ def _chunkgrid_pool_jit(values, cells_row, ct, n_tiles, kind, interpret):
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(ct, vals3, cells_row)
 
-    gather_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(b, nc),
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, TILE_CELLS, fp),
-                lambda b_, k_, ct_r: (b_, jnp.minimum(ct_r[b_, k_],
-                                                      n_tiles - 1), 0, 0)),
-            pl.BlockSpec((1, 1, 1, cl), lambda b_, k_, *_: (b_, k_, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, PCHUNK, fp),
-                               lambda b_, k_, *_: (b_, k_, 0)),
-        scratch_shapes=[],
-    )
-    out = pl.pallas_call(
-        functools.partial(_gather_kernel, n_tiles=n_tiles, f32_precision=f32p),
-        out_shape=jax.ShapeDtypeStruct((b, npad, fp), dt),
-        grid_spec=gather_spec,
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(ct, cellv, cells_row)
+    out = _gather_cells_call(cellv, cells_row, ct, n_tiles, interpret)
     return out[..., :f]
 
 
@@ -246,8 +259,9 @@ def _scatter_plane_kernel(
     cells_ref,  # VMEM block (1, 1, 1, CL) int32
     perm_ref,   # VMEM (TILE_CELLS, TILE_CELLS) f32 Morton->row-major one-hot
     out_ref,    # VMEM out block (1, TILE_SIDE, TILE_SIDE, Fp)
+    cntout_ref,  # VMEM out block (1, 1, 1, TILE_CELLS) f32: per-cell counts
     acc_ref,    # scratch VMEM (TILE_CELLS, Fp) f32
-    cnt_ref,    # scratch VMEM (TILE_CELLS, 1) f32
+    cnt_ref,    # scratch VMEM (1, TILE_CELLS) f32
     *,
     n_tiles: int,
     f32_precision: bool,
@@ -274,19 +288,27 @@ def _scatter_plane_kernel(
         cells = jax.lax.slice(cells_ref[0, 0], (0, 0), (1, PCHUNK))
         local = cells - t * TILE_CELLS
         cell_iota = jax.lax.broadcasted_iota(jnp.int32, (TILE_CELLS, PCHUNK), 0)
-        m = (local == cell_iota)
+        m = (local == cell_iota).astype(dt)
         acc_ref[:] += jax.lax.dot_general(
-            m.astype(dt), vals_ref[0, 0],
+            m, vals_ref[0, 0],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
         )
-        cnt_ref[:] += jnp.sum(m.astype(jnp.float32), axis=1)[:, None]
+        # lane-oriented counts (matmul, as in level_kernel): consumed by the
+        # fused backward's scatter-mean transpose without a transpose
+        cnt_ref[:] += jax.lax.dot_general(
+            jnp.ones((1, PCHUNK), dt), m,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
 
         t_next = jnp.where(k + 1 < nc, ct_ref[b, jnp.minimum(k + 1, nc - 1)], -1)
 
         @pl.when((k == nc - 1) | (t_next != t))
         def _():
-            mean = acc_ref[:] / jnp.maximum(cnt_ref[:], 1.0)
+            cntout_ref[0, 0] = cnt_ref[:]
+            mean = acc_ref[:] / jnp.maximum(cnt_ref[:].reshape(TILE_CELLS, 1),
+                                            1.0)
             row_major = jax.lax.dot_general(
                 perm_ref[:], mean, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=prec,
@@ -325,21 +347,30 @@ def _scatter_plane_jit(values, cells_row, ct, tmask, reso, interpret):
             pl.BlockSpec((1, 1, 1, cl), lambda b_, k_, *_: (b_, k_, 0, 0)),
             pl.BlockSpec((TILE_CELLS, TILE_CELLS), lambda *_: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, TILE_SIDE, TILE_SIDE, fp), out_index),
+        out_specs=[
+            pl.BlockSpec((1, TILE_SIDE, TILE_SIDE, fp), out_index),
+            pl.BlockSpec((1, 1, 1, TILE_CELLS),
+                         lambda b_, k_, ct_r: (
+                             b_, jnp.minimum(ct_r[b_, k_], n_tiles - 1),
+                             0, 0)),
+        ],
         scratch_shapes=[
             pltpu.VMEM((TILE_CELLS, fp), jnp.float32),
-            pltpu.VMEM((TILE_CELLS, 1), jnp.float32),
+            pltpu.VMEM((1, TILE_CELLS), jnp.float32),
         ],
     )
-    out = pl.pallas_call(
+    out, counts = pl.pallas_call(
         functools.partial(_scatter_plane_kernel, n_tiles=n_tiles,
                           f32_precision=dt == jnp.float32),
-        out_shape=jax.ShapeDtypeStruct((b, reso, reso, fp), dt),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, reso, reso, fp), dt),
+            jax.ShapeDtypeStruct((b, n_tiles, 1, TILE_CELLS), jnp.float32),
+        ],
         grid_spec=spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(ct, vals3, cells_row, jnp.asarray(_TILE_PERM_MAT, dt))
-    return jnp.where(tmask[..., None], out[..., :f], 0)
+    return jnp.where(tmask[..., None], out[..., :f], 0), counts
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
@@ -348,7 +379,8 @@ def scatter_plane2(values, cells_row, ct, tmask, mask, reso):
     the encoder's plane emission (reference pointnet.py:101-111) with the
     level-kernel iteration pattern. Empty tiles zeroed by ``tmask``."""
     interpret = jax.default_backend() != "tpu"
-    return _scatter_plane_jit(values, cells_row, ct, tmask, reso, interpret)
+    out, _ = _scatter_plane_jit(values, cells_row, ct, tmask, reso, interpret)
+    return out
 
 
 def _scatter_plane2_ref(values, cells_row, mask, reso):
@@ -365,15 +397,40 @@ def _scatter_plane2_ref(values, cells_row, mask, reso):
 
 
 def _scatter_plane2_fwd(values, cells_row, ct, tmask, mask, reso):
-    out = scatter_plane2(values, cells_row, ct, tmask, mask, reso)
-    return out, (values, cells_row, mask)
+    interpret = jax.default_backend() != "tpu"
+    out, counts = _scatter_plane_jit(values, cells_row, ct, tmask, reso,
+                                     interpret)
+    return out, (values, cells_row, ct, mask, counts)
 
 
 def _scatter_plane2_bwd(reso, res, g):
-    values, cells_row, mask = res
-    _, vjp = jax.vjp(
-        lambda v: _scatter_plane2_ref(v, cells_row, mask, reso), values)
-    (dv,) = vjp(g.astype(values.dtype))
+    values, cells_row, ct, mask, counts = res
+    dt = values.dtype
+    from tomosar2height_tpu.ops.pallas import level_kernel as _lk
+
+    if _lk._BWD_IMPL == "ref":
+        _, vjp = jax.vjp(
+            lambda v: _scatter_plane2_ref(v, cells_row, mask, reso), values)
+        (dv,) = vjp(g.astype(dt))
+        return dv, None, None, None, None
+
+    # scatter-mean transpose as ONE gather-back kernel: d_v[i] =
+    # g_plane[cell_i] / count[cell_i] for valid points. Full-plane Morton
+    # order factors as (tile Morton, in-tile Morton), so the reshape below
+    # yields exactly the gather kernel's cell-value layout.
+    from tomosar2height_tpu.ops.sorted_scatter import plane_to_morton
+
+    interpret = jax.default_backend() != "tpu"
+    b = g.shape[0]
+    n_tiles = (reso // 16) ** 2
+    f = values.shape[-1]
+    g_m = plane_to_morton(g.astype(dt)).reshape(b, n_tiles, TILE_CELLS, f)
+    g_m = _pad_lanes(g_m)
+    scale = (1.0 / jnp.maximum(counts, 1.0)).reshape(
+        b, n_tiles, TILE_CELLS, 1)
+    dv = _gather_cells_call((g_m * scale).astype(dt), cells_row, ct, n_tiles,
+                            interpret)[..., :f]
+    dv = jnp.where(mask[..., None], dv, 0).astype(dt)
     return dv, None, None, None, None
 
 
@@ -410,14 +467,34 @@ def _pool2_ref(values, cells_row, mask, n_tiles, kind):
 
 def _pool2_fwd(values, cells_row, ct, mask, n_tiles, kind):
     out = pool2(values, cells_row, ct, mask, n_tiles, kind)
-    return out, (values, cells_row, mask)
+    return out, (values, cells_row, ct, mask, out)
 
 
 def _pool2_bwd(n_tiles, kind, res, g):
-    values, cells_row, mask = res
-    _, vjp = jax.vjp(
-        lambda v: _pool2_ref(v, cells_row, mask, n_tiles, kind), values)
-    (dv,) = vjp(g.astype(values.dtype))
+    values, cells_row, ct, mask, out = res
+    dt = values.dtype
+    from tomosar2height_tpu.ops.pallas import level_kernel as _lk
+
+    if _lk._BWD_IMPL == "ref":
+        _, vjp = jax.vjp(
+            lambda v: _pool2_ref(v, cells_row, mask, n_tiles, kind), values)
+        (dv,) = vjp(g.astype(dt))
+        return dv, None, None, None
+
+    # pool_local transposes stay on the chunk-grid kernels:
+    #   mean: out_i = (1/n_c) sum_{j in c} v_j  =>  d_v[k] =
+    #     (1/n_c) sum_{i in c} g_i  — self-adjoint, one more mean pool;
+    #   max: d_v[k] = [v_k == M_c] * sum_{i in c} g_i (every tie gets the
+    #     full cell gradient, matching jnp reduce-max vjp semantics), with
+    #     M_c gathered per point == the saved forward output.
+    g_m = jnp.where(mask[..., None], g.astype(dt), 0)
+    if kind == "mean":
+        dv = chunkgrid_pool(g_m, cells_row, ct, n_tiles, "mean")
+    else:
+        cell_sum = chunkgrid_pool(g_m, cells_row, ct, n_tiles, "sum")
+        tie = (values.astype(jnp.float32) == out.astype(jnp.float32))
+        dv = jnp.where(tie, cell_sum, 0)
+    dv = jnp.where(mask[..., None], dv, 0).astype(dt)
     return dv, None, None, None
 
 
