@@ -81,7 +81,8 @@ def categorize(trace_dir: str, top: int = 25):
         print(f"  {d/steps/1e3:8.3f} ms [{c}] {s}")
 
 
-def capture(train: bool, dtype: str, fused: bool, out_dir: str, batch: int = 4):
+def capture(train: bool, dtype: str, fused: bool, out_dir: str, batch: int = 4,
+            remat: bool = True):
     from tomosar2height_tpu.utils import enable_compile_cache
 
     enable_compile_cache()
@@ -129,7 +130,7 @@ def capture(train: bool, dtype: str, fused: bool, out_dir: str, batch: int = 4):
         from tomosar2height_tpu.parallel.mesh import make_mesh
         from tomosar2height_tpu.train.trainer import Trainer
 
-        model = model.clone(remat=True)
+        model = model.clone(remat=remat)
         trainer = Trainer(model, {"optimize_every": 1}, use_cloud=True,
                           mesh=make_mesh(1), donate=False)
         batch = {"points": np.asarray(pts), "point_mask": np.asarray(mask),
@@ -173,11 +174,14 @@ if __name__ == "__main__":
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--fused", nargs="?", const="fused", default=False,
                     choices=["fused", "fused2"])
+    ap.add_argument("--no-remat", action="store_true",
+                    help="trace the no-remat step (bench.py --train config)")
     ap.add_argument("--parse", default=None, help="trace dir to re-parse")
     ap.add_argument("--out", default="/tmp/jax_trace_prof")
     a = ap.parse_args()
     if a.parse:
         categorize(a.parse)
     else:
-        capture(a.train, a.dtype, a.fused, a.out, a.batch)
+        capture(a.train, a.dtype, a.fused, a.out, a.batch,
+                remat=not a.no_remat)
         categorize(a.out)

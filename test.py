@@ -57,7 +57,7 @@ def main(overrides=None):
                          fixed_bucket=cfg_dataset["points"]["train_bucket"],
                          sort_reso=sort_reso,
                          aligned=cfg.select("model.encoder_kwargs.sorted_impl",
-                                            "cumsum") == "fused",
+                                            "cumsum") in ("fused", "fused2"),
                          prefetch=cfg.select("dataloader.prefetch", 2),
                          n_workers=cfg.select("dataloader.n_workers", 0))
     log.info("Dataset path: '%s'", cfg_dataset["path"])

@@ -137,3 +137,42 @@ class TestEncoderBackward:
         flat_f, _ = jax.flatten_util.ravel_pytree(g_fused)
         scale = float(jnp.max(jnp.abs(flat_p))) + 1e-8
         assert float(jnp.max(jnp.abs(flat_f - flat_p))) < 2e-4 * scale
+
+    def test_sharded_grad_over_mesh(self):
+        """GSPMD batch-shards the whole fused2 BACKWARD stack over the mesh
+        (the training configuration's multi-chip path): per-device grads of
+        the sharded batch must match the single-device grads."""
+        from tomosar2height_tpu.parallel.mesh import (
+            make_mesh,
+            replicate,
+            shard_batch,
+        )
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs a multi-device mesh")
+        reso, n, b = 32, 900, 2
+        apts, amask, acell, atoff, _ = _layout(b, n, reso, seed=12)
+        fused = LocalPoolPointnet(
+            feature_dim=8, hidden_dim=8, plane_resolution=reso,
+            scatter_type="max", unet_type="alto",
+            unet_kwargs={"depth": 2, "start_filts": 8, "merge_mode": "concat"},
+            sorted_impl="fused2", dtype=jnp.float32)
+        params = fused.init(jax.random.PRNGKey(0), jnp.asarray(apts[:1]),
+                            jnp.asarray(amask[:1]), jnp.asarray(acell[:1]),
+                            jnp.asarray(atoff[:1]))
+
+        def loss(p, pts, mask, cells, toff):
+            out = fused.apply(p, pts, mask, cells, toff)["xy"]
+            return jnp.sum(out * out)
+
+        g_ref = jax.grad(loss)(params, jnp.asarray(apts), jnp.asarray(amask),
+                               jnp.asarray(acell), jnp.asarray(atoff))
+        mesh = make_mesh(2)
+        dev = shard_batch({"p": apts, "m": amask, "c": acell, "t": atoff},
+                          mesh)
+        g_sh = jax.jit(jax.grad(loss))(replicate(params, mesh), dev["p"],
+                                       dev["m"], dev["c"], dev["t"])
+        flat_r, _ = jax.flatten_util.ravel_pytree(g_ref)
+        flat_s, _ = jax.flatten_util.ravel_pytree(g_sh)
+        np.testing.assert_allclose(np.asarray(flat_s), np.asarray(flat_r),
+                                   rtol=1e-5, atol=1e-5)

@@ -613,7 +613,10 @@ def _fused_level_bwd(reso, finest, res, g):
     d_win, dcl_p, dwi, dbi, dwo, dbo, dwc = fused_level_bwd_call(
         plane_p, g_plane_p, counts, aux, cells_row, make_mask_row(mask),
         clast_p, g_c_p, weights_p, ct, pt, reso, finest, interpret)
-    dp = windows_to_plane(d_win, tmask, reso)[..., :plane.shape[-1]]
+    # slice the lane padding off BEFORE the overlap-add: the shift/fold
+    # chains are pure data movement, so feeding them fp=128 lanes for a
+    # 32-channel level quadruples their HBM traffic for nothing
+    dp = windows_to_plane(d_win[..., :plane.shape[-1]], tmask, reso)
     dcl = dcl_p[..., :c_last.shape[-1]].astype(c_last.dtype)
     dw = (
         dwi[:w_in.shape[0], :w_in.shape[1]].astype(w_in.dtype),

@@ -105,7 +105,7 @@ def main(overrides=None):
                  if cfg.select("dataset.points.sort", False)
                  and cfg["use_cloud"] and cfg["model"]["encoder"] == "pointnet_local_pool"
                  else None)
-    aligned = cfg.select("model.encoder_kwargs.sorted_impl", "cumsum") == "fused"
+    aligned = cfg.select("model.encoder_kwargs.sorted_impl", "cumsum") in ("fused", "fused2")
     common = dict(bucket_sizes=buckets, fixed_bucket=cfg_dataset["points"]["train_bucket"],
                   sort_reso=sort_reso, aligned=aligned, n_workers=n_workers)
     loaders = {
