@@ -22,6 +22,7 @@ import yaml
 
 from tomosar2height_tpu.geo import (
     FLIP_MATRICES,
+    GridIndex2D,
     ROT_MATRICES,
     RasterReader,
     apply_transform,
@@ -106,7 +107,12 @@ class TomoSARDataset:
             path = os.path.join(dataset_dir, info["name"], INPUT_POINT_CLOUD)
             with np.load(path) as z:
                 pts = z["pts"].astype(np.float64)
-            self.data_dic[chunk_idx] = {"name": info["name"], "inputs": pts}
+            # one-argsort spatial index: bbox crops touch only overlapping
+            # grid cells instead of rescanning the chunk per patch (the
+            # serving loader's dominant host cost at city scale)
+            index = GridIndex2D(pts, cell_size=float(self.patch_size[0]) / 2.0)
+            self.data_dic[chunk_idx] = {
+                "name": info["name"], "inputs": pts, "index": index}
 
         self.random_sample = random_sample
         self.random_length = random_length
@@ -189,7 +195,8 @@ class TomoSARDataset:
         min_bound = anchor.astype(np.float64)
         max_bound = min_bound + self.patch_size
         chunk_data = self.data_dic[chunk_idx]
-        inputs, _ = crop_pc_2d(chunk_data["inputs"], min_bound, max_bound)
+        inputs, _ = chunk_data["index"].query(
+            chunk_data["inputs"], min_bound, max_bound)
         if len(inputs) == 0:
             return {
                 "name": f"{chunk_data['name']}-patch{idx}",

@@ -21,7 +21,12 @@ from tomosar2height_tpu.geo.transform import (  # noqa: F401
     ROT_MATRICES,
     FLIP_MATRICES,
 )
-from tomosar2height_tpu.geo.crop import crop_pc_2d, crop_pc_2d_index, crop_pc_3d  # noqa: F401
+from tomosar2height_tpu.geo.crop import (  # noqa: F401
+    GridIndex2D,
+    crop_pc_2d,
+    crop_pc_2d_index,
+    crop_pc_3d,
+)
 from tomosar2height_tpu.geo.mask import dilate_mask  # noqa: F401
 from tomosar2height_tpu.geo.raster import RasterData, RasterReader, RasterWriter  # noqa: F401
 from tomosar2height_tpu.geo.cloud import load_pc, load_las_as_numpy, save_pc_to_ply, load_ply  # noqa: F401
