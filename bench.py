@@ -83,7 +83,8 @@ def e2e_bench(batch: int = 4, dtype: str = "float32", iters: int = 3,
         build_dataset(cfg, overwrite=True)
     cfg = compose(default_conf_dir(), overrides=overrides)
 
-    dataset = TomoSARDataset("vis", cfg["dataset"], random_sample=False)
+    dataset = TomoSARDataset("vis", cfg["dataset"], random_sample=False,
+                             load_target=False)
     sort_reso = 256 if (sorted_path or fused) else None
     loader = PatchLoader(dataset, batch, [16384], fixed_bucket=16384,
                          sort_reso=sort_reso, aligned=bool(fused),
@@ -173,16 +174,20 @@ def main(batch: int | None = None, n_points: int = 16384, iters: int = 40, train
             host_morton_bucket_aligned,
         )
 
+        from tomosar2height_tpu.data.pipeline import tile_cells_for_impl
+
         ek = dict(model.encoder_kwargs)
         ek["sorted_impl"] = fused if isinstance(fused, str) else "fused"
         model = model.clone(encoder_kwargs=ek)
-        npad = aligned_bucket_size(n_points, RESO, CHUNK)
+        tc = tile_cells_for_impl(ek["sorted_impl"])
+        npad = aligned_bucket_size(n_points, RESO, CHUNK, tc)
         apts = np.full((batch, npad, 3), 0.5, np.float32)
         amask = np.zeros((batch, npad), bool)
         acell = np.zeros((batch, npad), np.int32)
-        atoff = np.zeros((batch, RESO * RESO // 256 + 1), np.int32)
+        atoff = np.zeros((batch, RESO * RESO // tc + 1), np.int32)
         for i in range(batch):
-            a = host_morton_bucket_aligned(pts_np[i], mask_np[i], RESO, CHUNK)
+            a = host_morton_bucket_aligned(pts_np[i], mask_np[i], RESO, CHUNK,
+                                           tc)
             apts[i], amask[i], acell[i], atoff[i] = (
                 a["points"], a["mask"], a["cells"], a["tile_offsets"])
         from tomosar2height_tpu.ops.sorted_scatter import trim_aligned_batch

@@ -30,7 +30,8 @@ def main(batch=4, n=16384, finest=256, c=32, reps=16, check=True, dtype="float32
     rng = np.random.default_rng(0)
     pts = rng.uniform(0.001, 0.999, (batch, n, 3)).astype(np.float32)
     mask = np.ones((batch, n), bool)
-    packs = [host_morton_bucket_aligned(pts[i], mask[i], finest, CHUNK)
+    packs = [host_morton_bucket_aligned(pts[i], mask[i], finest, CHUNK,
+                                        tile_cells=256)
              for i in range(batch)]
     apts = jnp.asarray(np.stack([p["points"] for p in packs]))
     amask = jnp.asarray(np.stack([p["mask"] for p in packs]))

@@ -115,6 +115,56 @@ def _gather4_kernel(ct_ref, cv0, cv1, cv2, cv3, cells_ref, out_ref, *,
                     preferred_element_type=jnp.float32).astype(dt)
 
 
+def _refs_kernel(ct_ref, *refs, n_refs):
+    # last ref is the out block; inputs stream per chunk
+    out_ref = refs[-1]
+    out_ref[0] = refs[0][0, 0, :PCHUNK]
+
+
+def build_refs(n_refs, b, nc, n_tiles, fp):
+    """Empty-body kernel with ``n_refs`` streaming input refs: isolates the
+    per-ref block bookkeeping share of the ~1.2 us/step floor."""
+    dt = jnp.bfloat16
+    spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, nc),
+        in_specs=[
+            pl.BlockSpec((1, 1, PCHUNK, fp),
+                         lambda b_, k_, *_: (b_, k_, 0, 0))
+            for _ in range(n_refs)
+        ],
+        out_specs=pl.BlockSpec((1, PCHUNK, fp),
+                               lambda b_, k_, *_: (b_, k_, 0)),
+    )
+    fn = pl.pallas_call(
+        functools.partial(_refs_kernel, n_refs=n_refs),
+        out_shape=jax.ShapeDtypeStruct((b, nc * PCHUNK, fp), dt),
+        grid_spec=spec,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )
+    return fn
+
+
+def bench_refs(n_refs, b, nc, n_tiles, fp, ct, reps):
+    rng = np.random.default_rng(1)
+    vals = jnp.asarray(
+        rng.standard_normal((b, nc, PCHUNK, fp)).astype(jnp.bfloat16))
+    fn = build_refs(n_refs, b, nc, n_tiles, fp)
+    args = (ct,) + (vals,) * n_refs
+    jfn = jax.jit(lambda *a: fn(*a))
+    out = jfn(*args)
+    out.block_until_ready()
+    _ = float(jnp.sum(out[:1, :1].astype(jnp.float32)))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = jfn(*args)
+    _ = float(jnp.sum(out[:1, :1].astype(jnp.float32)))
+    dt = (time.perf_counter() - t0) / reps
+    steps = b * nc
+    print(f"refs={n_refs}: {dt * 1e3:7.3f} ms/call  "
+          f"{dt / steps * 1e6:6.3f} us/step")
+
+
 def build(kind, b, nc, n_tiles, fp, cl):
     dt = jnp.bfloat16
     if kind in ("empty", "gather"):
@@ -202,6 +252,8 @@ def main():
           f"device={jax.devices()[0].platform}")
     for kind in ("empty", "gather", "gather4", "gather4w"):
         bench(kind, a.b, nc, n_tiles, a.fp, args, a.reps)
+    for n_refs in (1, 2, 4, 6):
+        bench_refs(n_refs, a.b, nc, n_tiles, a.fp, args[0], a.reps)
 
 
 if __name__ == "__main__":

@@ -105,16 +105,20 @@ def capture(train: bool, dtype: str, fused: bool, out_dir: str, batch: int = 4,
             host_morton_bucket_aligned,
         )
 
+        from tomosar2height_tpu.data.pipeline import tile_cells_for_impl
+
         ek = dict(model.encoder_kwargs)
         ek["sorted_impl"] = fused if isinstance(fused, str) else "fused"
         model = model.clone(encoder_kwargs=ek)
-        npad = aligned_bucket_size(16384, 256, CHUNK)
+        tc = tile_cells_for_impl(ek["sorted_impl"])
+        npad = aligned_bucket_size(16384, 256, CHUNK, tc)
         apts = np.full((batch, npad, 3), 0.5, np.float32)
         amask = np.zeros((batch, npad), bool)
         acell = np.zeros((batch, npad), np.int32)
-        atoff = np.zeros((batch, 256 * 256 // 256 + 1), np.int32)
+        atoff = np.zeros((batch, 256 * 256 // tc + 1), np.int32)
         for i in range(batch):
-            a = host_morton_bucket_aligned(pts_np[i], mask_np[i], 256, CHUNK)
+            a = host_morton_bucket_aligned(pts_np[i], mask_np[i], 256, CHUNK,
+                                           tc)
             apts[i], amask[i], acell[i], atoff[i] = (
                 a["points"], a["mask"], a["cells"], a["tile_offsets"])
         from tomosar2height_tpu.ops.sorted_scatter import trim_aligned_batch

@@ -18,7 +18,7 @@ import numpy as np
 
 from tomosar2height_tpu.config import compose
 from tomosar2height_tpu.config.compose import default_conf_dir
-from tomosar2height_tpu.data import PatchLoader, TomoSARDataset
+from tomosar2height_tpu.data import PatchLoader, TomoSARDataset, tile_cells_for_impl
 from tomosar2height_tpu.infer import DSMEvaluator, DSMGenerator, print_statistics
 from tomosar2height_tpu.models import build_model
 from tomosar2height_tpu.train import CheckpointIO, DEFAULT_MODEL_FILE
@@ -47,7 +47,8 @@ def main(overrides=None):
         lock_seed(0)
     enable_compile_cache()
 
-    test_dataset = TomoSARDataset("test", cfg_dataset, random_sample=False)
+    test_dataset = TomoSARDataset("test", cfg_dataset, random_sample=False,
+                                  load_target=False)
     sort_reso = (cfg.select("model.encoder_kwargs.plane_resolution")
                  if cfg.select("dataset.points.sort", False)
                  and cfg["use_cloud"] and cfg["model"]["encoder"] == "pointnet_local_pool"
@@ -58,6 +59,9 @@ def main(overrides=None):
                          sort_reso=sort_reso,
                          aligned=cfg.select("model.encoder_kwargs.sorted_impl",
                                             "cumsum") in ("fused", "fused2"),
+                         tile_cells=tile_cells_for_impl(
+                             cfg.select("model.encoder_kwargs.sorted_impl",
+                                        "cumsum")),
                          prefetch=cfg.select("dataloader.prefetch", 2),
                          n_workers=cfg.select("dataloader.n_workers", 0))
     log.info("Dataset path: '%s'", cfg_dataset["path"])

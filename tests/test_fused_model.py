@@ -41,13 +41,16 @@ def data():
     b = 2
     pts = rng.uniform(0.001, 0.999, (b, N, 3)).astype(np.float32)
     mask = rng.random((b, N)) > 0.05
-    npad = aligned_bucket_size(N, RESO, CHUNK)
+    # sorted_impl='fused' (round-2 per-op kernels) iterates 16x16 tiles ->
+    # the layout must be built with 256-cell tiles, not the fused2 default
+    npad = aligned_bucket_size(N, RESO, CHUNK, tile_cells=256)
     apts = np.full((b, npad, 3), 0.5, np.float32)
     amask = np.zeros((b, npad), bool)
     acell = np.zeros((b, npad), np.int32)
     atoff = np.zeros((b, RESO * RESO // 256 + 1), np.int32)
     for i in range(b):
-        a = host_morton_bucket_aligned(pts[i], mask[i], RESO, CHUNK)
+        a = host_morton_bucket_aligned(pts[i], mask[i], RESO, CHUNK,
+                                       tile_cells=256)
         apts[i], amask[i], acell[i], atoff[i] = (
             a["points"], a["mask"], a["cells"], a["tile_offsets"])
     return dict(pts=pts, mask=mask, apts=apts, amask=amask, acell=acell,

@@ -30,7 +30,7 @@ def make_aligned_batch(b=2, n=1000, reso=64, seed=0, frac_masked=0.1):
     rng = np.random.default_rng(seed)
     pts = rng.uniform(0.001, 0.999, (b, n, 3)).astype(np.float32)
     mask = rng.random((b, n)) > frac_masked
-    npad = aligned_bucket_size(n, reso, CHUNK)
+    npad = aligned_bucket_size(n, reso, CHUNK, tile_cells=256)
     out = {
         "points": np.zeros((b, npad, 3), np.float32),
         "mask": np.zeros((b, npad), bool),
@@ -39,7 +39,9 @@ def make_aligned_batch(b=2, n=1000, reso=64, seed=0, frac_masked=0.1):
     }
     toffs = []
     for i in range(b):
-        a = host_morton_bucket_aligned(pts[i], mask[i], reso, CHUNK)
+        # the round-2 per-op kernels iterate 16x16 tiles -> 256-cell layout
+        a = host_morton_bucket_aligned(pts[i], mask[i], reso, CHUNK,
+                                       tile_cells=256)
         out["points"][i] = a["points"]
         out["mask"][i] = a["mask"]
         out["cells"][i] = a["cells"]
@@ -270,7 +272,8 @@ class TestTileGather:
         pts[0, :50, 0] = rng.uniform(0.0, 0.01, 50)    # left edge
         pts[0, 50:100, 1] = rng.uniform(0.99, 0.9999, 50)  # top edge
         mask = np.ones((1, n), bool)
-        a = host_morton_bucket_aligned(pts[0], mask[0], reso, CHUNK)
+        a = host_morton_bucket_aligned(pts[0], mask[0], reso, CHUNK,
+                                       tile_cells=256)
         npad = a["points"].shape[0]
         plane = rng.normal(size=(1, reso, reso, 16)).astype(np.float32)
         from tomosar2height_tpu.ops.pallas.fused import make_aux

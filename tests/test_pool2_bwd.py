@@ -30,6 +30,7 @@ from tomosar2height_tpu.ops.pallas.pool2_kernel import (  # noqa: E402
     scatter_plane2,
 )
 from tomosar2height_tpu.ops.sorted_scatter import (  # noqa: E402
+    ALIGNED_TILE_CELLS,
     aligned_bucket_size,
     host_morton_bucket_aligned,
 )
@@ -43,7 +44,7 @@ def _layout(b, n, reso, seed):
     apts = np.full((b, npad, 3), 0.5, np.float32)
     amask = np.zeros((b, npad), bool)
     acell = np.zeros((b, npad), np.int32)
-    atoff = np.zeros((b, reso * reso // 256 + 1), np.int32)
+    atoff = np.zeros((b, reso * reso // ALIGNED_TILE_CELLS + 1), np.int32)
     for i in range(b):
         a = host_morton_bucket_aligned(pts[i], mask[i], reso, PCHUNK)
         apts[i], amask[i], acell[i], atoff[i] = (

@@ -47,8 +47,13 @@ class TomoSARDataset:
         random_length: Optional[int] = None,
         flip_augm: bool = False,
         rotate_augm: bool = False,
+        load_target: bool = True,
     ):
+        """``load_target=False`` skips the per-patch GT-nDSM crop/copy —
+        inference loaders (DSMGenerator) never consume the target, and the
+        copy is a measurable share of the serving loader's critical path."""
         self.split = split
+        self.load_target = bool(load_target)
         self._cfg_data = cfg_dataset
         self.patch_size = np.asarray(cfg_dataset["patch_size"], dtype=np.float64)
         self.dataset_chunk_idx_ls: List[int] = list(cfg_dataset[f"{split}_chunks"])
@@ -166,7 +171,7 @@ class TomoSARDataset:
         """World points -> float32 points strictly inside the unit square
         (reference dataset.py:274-278). The C++ runtime fuses transform + recrop
         into one pass for large patches; numpy is the fallback/oracle."""
-        if inputs.shape[0] >= 20_000 and inputs.flags.c_contiguous:
+        if inputs.shape[0] >= 4_096 and inputs.flags.c_contiguous:
             from tomosar2height_tpu import native
 
             out = native.crop_transform_patch(inputs, min_bound, max_bound, normalize_mat)
@@ -254,6 +259,8 @@ class TomoSARDataset:
             )
 
         # GT nDSM patch (reference dataset.py:313-328)
+        if not self.load_target:
+            return out
         center = min_bound + self._dsm_pixel_size / 2.0
         col, row = self.dsm.query_col_row(center[0], center[1])
         h, w = self._dsm_patch_shape

@@ -19,6 +19,15 @@ import numpy as np
 log = logging.getLogger(__name__)
 
 
+def tile_cells_for_impl(sorted_impl: str) -> int:
+    """Aligned-layout Morton tile size matching the model's kernel path:
+    the round-2 per-op kernels ('fused') iterate 16x16 tiles; the chunk-grid
+    kernels ('fused2', the default fast path) iterate 32x32 tiles."""
+    from tomosar2height_tpu.ops.sorted_scatter import ALIGNED_TILE_CELLS
+
+    return 256 if sorted_impl == "fused" else ALIGNED_TILE_CELLS
+
+
 def pick_bucket(n: int, bucket_sizes: Sequence[int]) -> int:
     """Smallest configured bucket that fits n points (caps at the largest)."""
     for b in bucket_sizes:
@@ -78,6 +87,7 @@ class PatchLoader:
         sort_reso: Optional[int] = None,
         n_workers: int = 0,
         aligned: bool = False,
+        tile_cells: Optional[int] = None,
     ):
         self.dataset = dataset
         self.batch_size = int(batch_size)
@@ -98,6 +108,15 @@ class PatchLoader:
         # (ops/sorted_scatter.py:host_morton_bucket_aligned): 'cell_offsets'
         # then carries CHUNK-multiple TILE offsets instead of per-cell offsets
         self.aligned = bool(aligned) and self.sort_reso is not None
+        # Morton-tile size of the aligned layout: must match the consuming
+        # kernels (1024 = chunk-grid fused2 kernels' 32x32 iteration tile,
+        # 256 = the round-2 per-op tile kernels; see
+        # ops/sorted_scatter.py:ALIGNED_TILE_CELLS)
+        if tile_cells is None:
+            from tomosar2height_tpu.ops.sorted_scatter import ALIGNED_TILE_CELLS
+
+            tile_cells = ALIGNED_TILE_CELLS
+        self.tile_cells = int(tile_cells)
         # parallel patch fetch (reference train.py:80-84 uses 8 DataLoader
         # worker processes; dataset.__getitem__ is numpy + GIL-releasing C++
         # fast paths, so threads suffice here)
@@ -223,8 +242,9 @@ class PatchLoader:
                 aligned_bucket_size,
             )
 
-            npad = aligned_bucket_size(bucket, self.sort_reso, CHUNK)
-            ntiles = (self.sort_reso * self.sort_reso) // 256
+            npad = aligned_bucket_size(bucket, self.sort_reso, CHUNK,
+                                       self.tile_cells)
+            ntiles = (self.sort_reso * self.sort_reso) // self.tile_cells
             points = np.full((bsz, npad, 3), 0.5, dtype=np.float32)
             point_mask = np.zeros((bsz, npad), dtype=bool)
             cells = np.full((bsz, npad), PAD_CELL_SENTINEL, dtype=np.int32)
@@ -257,7 +277,8 @@ class PatchLoader:
                 )
 
                 pts_i, mask_i = pad_points(p["inputs"], bucket, rng)
-                a = host_morton_bucket_aligned(pts_i, mask_i, self.sort_reso, CHUNK)
+                a = host_morton_bucket_aligned(pts_i, mask_i, self.sort_reso,
+                                               CHUNK, self.tile_cells)
                 points[i] = a["points"]
                 point_mask[i] = a["mask"]
                 cells[i] = a["cells"]

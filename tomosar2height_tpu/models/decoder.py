@@ -64,10 +64,20 @@ class Conv1x1Split(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         out = bias.astype(jnp.float32)
         off = 0
+        # When the trunk runs bf16, contract in bf16 with f32 ACCUMULATION
+        # (native MXU mode): the output stays f32 — the docstring's output-
+        # resolution concern is about accumulation/output dtype, not operand
+        # rounding — and the parts stream through HBM once instead of being
+        # materialized as f32 copies (~2x the head's traffic, profiled r03).
+        # f32 parts keep full f32 math (the torch-parity configuration).
+        bf16 = all(p.dtype == jnp.bfloat16 for p in parts)
         for p in parts:
             c = p.shape[-1]
-            w = kernel[0, 0, off:off + c].astype(jnp.float32)
-            out = out + jnp.einsum("bhwc,cd->bhwd", p.astype(jnp.float32), w)
+            w = kernel[0, 0, off:off + c]
+            w = w.astype(jnp.bfloat16 if bf16 else jnp.float32)
+            out = out + jnp.einsum(
+                "bhwc,cd->bhwd", p if bf16 else p.astype(jnp.float32), w,
+                preferred_element_type=jnp.float32)
             off += c
         return out
 

@@ -71,6 +71,19 @@ class LocalPoolPointnet(nn.Module):
         """
         reso = self.plane_resolution
         xy = points[..., :2]
+        if cells is None and offsets is not None:
+            # wire-slim path: cell ids are fully determined by the (already
+            # host-sorted) points + mask, so callers may skip shipping the
+            # (B, N) int32 array and let the device recompute it bit-exactly
+            from tomosar2height_tpu.ops.sorted_scatter import (
+                PAD_CELL_SENTINEL,
+                morton_cells_device,
+            )
+
+            pad = (int(PAD_CELL_SENTINEL)
+                   if self.sorted_impl in ("fused", "fused2")
+                   else reso * reso)
+            cells = morton_cells_device(points, mask, reso, pad)
         use_sorted = cells is not None and offsets is not None
         # 'fused'  = per-op Pallas tile kernels (round 2)
         # 'fused2' = same pointnet pool/scatter kernels, but the ALTO levels
@@ -87,6 +100,7 @@ class LocalPoolPointnet(nn.Module):
             # computed once here and shared with the ALTO level kernels via
             # the buckets dict
             from tomosar2height_tpu.ops.pallas.level_kernel import (
+                TILE_SIDE,
                 chunk_metadata,
                 empty_tile_mask,
                 make_cells_row,
@@ -94,7 +108,7 @@ class LocalPoolPointnet(nn.Module):
             from tomosar2height_tpu.ops.pallas.pool2_kernel import pool2
 
             npad = points.shape[1]
-            n_tiles = (reso // 16) ** 2
+            n_tiles = (reso // TILE_SIDE) ** 2
             cells_row = make_cells_row(cells)
             ct_f, pt_f = chunk_metadata(offsets, npad, reso, reso)
             tmask_f = empty_tile_mask(offsets, reso, reso)

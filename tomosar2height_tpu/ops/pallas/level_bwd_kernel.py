@@ -50,15 +50,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tomosar2height_tpu.ops.pallas.level_kernel import (
     LANE,
+    N_SUB,
     PCHUNK,
+    SUB_CELLS,
+    SUB_SIDE,
     TILE_CELLS,
     TILE_SIDE,
-    WIN_FLAT,
     WIN_X,
     WIN_Y,
     _TILE_PERM_MAT,
     _deinterleave_bits,
     _tile_window_origin,
+    _win_shape,
 )
 
 
@@ -101,6 +104,7 @@ def _level_bwd_kernel(
     b = pl.program_id(0)
     k = pl.program_id(1)
     nc = pl.num_programs(1)
+    win_y, win_x = _win_shape(reso)
     t = ct_ref[b, k]
     active = t < n_tiles
     t_prev = jnp.where(k > 0, ct_ref[b, jnp.maximum(k - 1, 0)], -1)
@@ -114,7 +118,7 @@ def _level_bwd_kernel(
     def window_dma(bb, tt, slot):
         wy, wx = _tile_window_origin(tt, bits, reso)
         return pltpu.make_async_copy(
-            plane_ref.at[bb, pl.ds(wy, WIN_Y), pl.ds(wx, min(WIN_X, reso)), :],
+            plane_ref.at[bb, pl.ds(wy, win_y), pl.ds(wx, win_x), :],
             win_ref.at[slot],
             sem_win.at[slot],
         )
@@ -158,16 +162,25 @@ def _level_bwd_kernel(
         window_dma(b, t, wslot).wait()
         dwacc_ref[:] = jnp.zeros_like(dwacc_ref)
         # scatter-mean transpose, hoisted per tile: Morton-permute the
-        # cotangent tile and pre-divide by the cell counts
-        g_row = gtile_ref[0].reshape(TILE_CELLS, gtile_ref.shape[-1])
-        g_mor = jax.lax.dot_general(
-            perm_ref[:], g_row.astype(jnp.float32),
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec,
-        )
+        # cotangent tile (row-major -> Morton per 16x16 sub-tile quadrant,
+        # the transpose of the forward's quad flush) and pre-divide by the
+        # cell counts
         cnt = cnt_ref[0, 0]                      # (1, TILE_CELLS)
         recip = (1.0 / jnp.maximum(cnt, 1.0)).reshape(TILE_CELLS, 1)
-        gsc_ref[:] = g_mor * recip
+        for j in range(N_SUB):
+            sy, sx = (j >> 1) & 1, j & 1
+            g_sub = gtile_ref[0,
+                              sy * SUB_SIDE:(sy + 1) * SUB_SIDE,
+                              sx * SUB_SIDE:(sx + 1) * SUB_SIDE].reshape(
+                SUB_CELLS, gtile_ref.shape[-1])
+            g_mor = jax.lax.dot_general(
+                perm_ref[:], g_sub.astype(jnp.float32),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            gsc_ref[j * SUB_CELLS:(j + 1) * SUB_CELLS] = (
+                g_mor * jax.lax.slice(
+                    recip, (j * SUB_CELLS, 0), ((j + 1) * SUB_CELLS, 1)))
 
     @pl.when(~active)
     def _():
@@ -189,16 +202,17 @@ def _level_bwd_kernel(
         fy = ys - y0
         lx = x0.astype(jnp.int32) - wx
         ly = y0.astype(jnp.int32) - wy
-        c00 = ly * WIN_X + lx
-        row_iota = jax.lax.broadcasted_iota(jnp.int32, (WIN_FLAT, PCHUNK), 0)
+        c00 = ly * win_x + lx
+        row_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (win_y * win_x, PCHUNK), 0)
         w_t = (
             (row_iota == c00).astype(jnp.float32) * ((1 - fy) * (1 - fx))
             + (row_iota == c00 + 1).astype(jnp.float32) * ((1 - fy) * fx)
-            + (row_iota == c00 + WIN_X).astype(jnp.float32) * (fy * (1 - fx))
-            + (row_iota == c00 + WIN_X + 1).astype(jnp.float32) * (fy * fx)
+            + (row_iota == c00 + win_x).astype(jnp.float32) * (fy * (1 - fx))
+            + (row_iota == c00 + win_x + 1).astype(jnp.float32) * (fy * fx)
         )
         w_t = w_t.astype(dt)                     # mirror the forward's dtype
-        win = win_ref[wslot].reshape(WIN_FLAT, win_ref.shape[-1])
+        win = win_ref[wslot].reshape(win_y * win_x, win_ref.shape[-1])
         sampled = jax.lax.dot_general(
             w_t, win, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec,
@@ -275,7 +289,7 @@ def _level_bwd_kernel(
         @pl.when((k == nc - 1) | (t_next != t))
         def _():
             dwin_ref[0, 0] = dwacc_ref[:].reshape(
-                WIN_Y, win_ref.shape[2], -1).astype(dt)
+                win_y, win_x, -1).astype(dt)
 
 
 def fused_level_bwd_call(plane, g_plane, counts, aux, cells_row, mask_row,
@@ -298,7 +312,7 @@ def fused_level_bwd_call(plane, g_plane, counts, aux, cells_row, mask_row,
     bits = (reso // TILE_SIDE).bit_length() - 1
     shift = 2 * (int(finest).bit_length() - int(reso).bit_length())
     dt = plane.dtype
-    win_x = min(WIN_X, r)
+    win_y, win_x = _win_shape(r)
 
     def tile_index(b_, k_, ct_r, pt_r):
         t = jnp.minimum(ct_r[b_, k_], n_tiles - 1)
@@ -326,10 +340,10 @@ def fused_level_bwd_call(plane, g_plane, counts, aux, cells_row, mask_row,
             pl.BlockSpec((1, hp), lambda *_: (0, 0)),             # b_in
             pl.BlockSpec((hp, fp), lambda *_: (0, 0)),            # w_out
             pl.BlockSpec((flp, fp), lambda *_: (0, 0)),           # w_c
-            pl.BlockSpec((TILE_CELLS, TILE_CELLS), lambda *_: (0, 0)),
+            pl.BlockSpec((SUB_CELLS, SUB_CELLS), lambda *_: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, WIN_Y, win_x, fp),
+            pl.BlockSpec((1, 1, win_y, win_x, fp),
                          lambda b_, k_, ct_r, pt_r: (
                              b_, jnp.minimum(ct_r[b_, k_], n_tiles - 1),
                              0, 0, 0)),
@@ -341,9 +355,9 @@ def fused_level_bwd_call(plane, g_plane, counts, aux, cells_row, mask_row,
             pl.BlockSpec((flp, fp), lambda *_: (0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, WIN_Y, win_x, fp), dt),
+            pltpu.VMEM((2, win_y, win_x, fp), dt),
             pltpu.VMEM((TILE_CELLS, fp), jnp.float32),
-            pltpu.VMEM((WIN_Y * win_x, fp), jnp.float32),
+            pltpu.VMEM((win_y * win_x, fp), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -355,7 +369,7 @@ def fused_level_bwd_call(plane, g_plane, counts, aux, cells_row, mask_row,
     outs = pl.pallas_call(
         kernel,
         out_shape=[
-            jax.ShapeDtypeStruct((b, n_tiles, WIN_Y, win_x, fp), dt),
+            jax.ShapeDtypeStruct((b, n_tiles, win_y, win_x, fp), dt),
             jax.ShapeDtypeStruct((b, nc * PCHUNK, flp), dt),
             jax.ShapeDtypeStruct((fp, hp), jnp.float32),
             jax.ShapeDtypeStruct((1, hp), jnp.float32),
@@ -390,29 +404,37 @@ def windows_to_plane(d_win, tmask, reso: int):
     """Overlap-add the per-tile halo windows back to a dense (R, R) plane.
 
     Args:
-        d_win: (B, T, WIN_Y, WIN_X_r, Fp) Morton-tile-ordered halo windows
+        d_win: (B, T, win_y, win_x, Fp) Morton-tile-ordered halo windows
             from :func:`fused_level_bwd_call` (unvisited tiles hold garbage).
         tmask: (B, R, R) bool nonempty-tile mask (uniform within each tile).
-        reso: plane resolution R (R >= 32, so WIN_X_r == WIN_X).
+        reso: plane resolution R (R >= TILE_SIDE).
 
     The kernel writes each tile's window at its PHYSICAL clamped origin
-    (wy, wx) = (clip(ty*16-1), clip(tx*16-8)); border tiles are first shifted
-    to the CANONICAL unclamped origin (ty*16-1, tx*16-8), after which the
-    fold is uniform: extent 18 = 16+2 rows (two shifted dense adds), extent
-    32 = 16+16 cols (two shifted dense adds). Gradient content never lands
+    (wy, wx) = (clip(ty*32-1), clip(tx*32-8)); border tiles are first shifted
+    to the CANONICAL unclamped origin (ty*32-1, tx*32-8), after which the
+    fold is uniform: extent 34 = 32+2 rows (two shifted dense adds), extent
+    48 = 32+16 cols (two shifted dense adds). Gradient content never lands
     outside the plane (forward sampling clamps coords to [0, R-1]).
     """
     from tomosar2height_tpu.ops.sorted_scatter import morton_to_plane
 
     b, t, wy_, wx_, fp = d_win.shape
     side = reso // TILE_SIDE
-    assert wx_ == WIN_X and t == side * side
+    assert t == side * side
+    if side == 1:
+        # reso == TILE_SIDE: one tile, window origin clamps to (0, 0) and
+        # the window IS the plane — no fold needed
+        assert (wy_, wx_) == (reso, reso)
+        return d_win[:, 0] * tmask[..., None].astype(d_win.dtype)
+    assert wy_ == WIN_Y and wx_ == WIN_X
+    hy = WIN_Y - TILE_SIDE                       # 2 halo rows
+    hx = WIN_X - TILE_SIDE                       # 16 halo cols (8-aligned)
     w = morton_to_plane(d_win.reshape(b, t, -1), side)
     w = w.reshape(b, side, side, wy_, wx_, fp)
     w = w * tmask[:, ::TILE_SIDE, ::TILE_SIDE, None, None, None]
 
     # canonicalize border-tile origins: ty=0 physical wy=0 vs canonical -1
-    # (shift +1); ty=side-1 physical R-18 = ty*16-2 vs canonical ty*16-1
+    # (shift +1); ty=side-1 physical R-34 = ty*32-2 vs canonical ty*32-1
     # (shift -1); x analogously with +-8
     w = jnp.concatenate([
         _shift_along(w[:, :1], 3, 1), w[:, 1:-1],
@@ -421,23 +443,25 @@ def windows_to_plane(d_win, tmask, reso: int):
         _shift_along(w[:, :, :1], 4, 8), w[:, :, 1:-1],
         _shift_along(w[:, :, -1:], 4, -8)], axis=2)
 
-    # fold y: padded row q covers plane row q-1; window rows 0..15 land at
-    # q = ty*16+l, rows 16..17 at q = ty*16+16+l'
-    w = w.transpose(0, 1, 3, 2, 4, 5)            # (B, sy, 18, sx, 32, Fp)
+    # fold y: padded row q covers plane row q-1; window rows 0..31 land at
+    # q = ty*32+l, rows 32..33 at q = ty*32+32+l'
+    w = w.transpose(0, 1, 3, 2, 4, 5)            # (B, sy, 34, sx, 48, Fp)
     ny = side * TILE_SIDE
     a = w[:, :, :TILE_SIDE].reshape(b, ny, side, wx_, fp)
-    a = jnp.pad(a, ((0, 0), (0, 2), (0, 0), (0, 0), (0, 0)))
+    a = jnp.pad(a, ((0, 0), (0, hy), (0, 0), (0, 0), (0, 0)))
     bb = jnp.pad(w[:, :, TILE_SIDE:],
-                 ((0, 0), (0, 0), (0, TILE_SIDE - 2), (0, 0), (0, 0), (0, 0)))
-    bb = bb.reshape(b, ny, side, wx_, fp)[:, :ny - 14]
-    bb = jnp.pad(bb, ((0, 0), (16, 0), (0, 0), (0, 0), (0, 0)))
-    y = (a + bb)[:, 1:ny + 1]                    # (B, R, sx, 32, Fp)
+                 ((0, 0), (0, 0), (0, TILE_SIDE - hy), (0, 0), (0, 0), (0, 0)))
+    bb = bb.reshape(b, ny, side, wx_, fp)[:, :ny - (TILE_SIDE - hy)]
+    bb = jnp.pad(bb, ((0, 0), (TILE_SIDE, 0), (0, 0), (0, 0), (0, 0)))
+    y = (a + bb)[:, 1:ny + 1]                    # (B, R, sx, 48, Fp)
 
-    # fold x: padded col q covers plane col q-8; window cols 0..15 land at
-    # q = tx*16+l, cols 16..31 at q = tx*16+16+l'
+    # fold x: padded col q covers plane col q-8; window cols 0..31 land at
+    # q = tx*32+l, cols 32..47 at q = tx*32+32+l'
     a = y[:, :, :, :TILE_SIDE].reshape(b, ny, side * TILE_SIDE, fp)
-    a = jnp.pad(a, ((0, 0), (0, 0), (0, TILE_SIDE), (0, 0)))
-    bb = y[:, :, :, TILE_SIDE:].reshape(b, ny, side * TILE_SIDE, fp)
-    bb = jnp.pad(bb, ((0, 0), (0, 0), (TILE_SIDE, 0), (0, 0)))
+    a = jnp.pad(a, ((0, 0), (0, 0), (0, hx), (0, 0)))
+    bb = jnp.pad(y[:, :, :, TILE_SIDE:],
+                 ((0, 0), (0, 0), (0, 0), (0, TILE_SIDE - hx), (0, 0)))
+    bb = bb.reshape(b, ny, side * TILE_SIDE, fp)
+    bb = jnp.pad(bb, ((0, 0), (0, 0), (TILE_SIDE, 0), (0, 0)))[:, :, :ny + hx]
     x = (a + bb)[:, :, 8:ny + 8]
     return x

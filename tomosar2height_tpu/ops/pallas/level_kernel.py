@@ -49,10 +49,20 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_SIDE = 16     # spatial side of a Morton tile
-TILE_CELLS = 256   # cells per tile
-WIN_Y = 18         # plane window rows: tile + 1-cell halo each side
-WIN_X = 32         # window cols: halo widened so the col offset is 8-aligned
+# Iteration tile (round-3b "super-tile"): 32x32 spatial, 1024 Morton cells.
+# The aligned layout pads each tile's rows to the PCHUNK quantum, so the tile
+# size sets the row inflation: 16x16 tiles average ~64 points against the
+# 128-row quantum (2.0x inflation, 256 grid steps/item at the flagship
+# 16k/256^2 shapes); 32x32 tiles average ~256 (1.25x, 160 steps/item).
+# With the measured ~1 us/grid-step machinery floor (scripts/
+# profile_gridstep.py) that is a ~35% cut of every chunk-grid kernel's cost.
+TILE_SIDE = 32     # spatial side of an iteration tile
+TILE_CELLS = 1024  # cells per iteration tile
+SUB_SIDE = 16      # flush sub-tile (the Morton->row-major perm granularity)
+SUB_CELLS = 256
+N_SUB = (TILE_SIDE // SUB_SIDE) ** 2
+WIN_Y = 34         # plane window rows: tile + 1-cell halo each side
+WIN_X = 48         # window cols: halo widened so the col offset is 8-aligned
 WIN_FLAT = WIN_Y * WIN_X
 LANE = 128
 
@@ -67,10 +77,12 @@ def _deinterleave_bits(v, bits: int, phase: int):
     return out
 
 
-# static [256, 256] one-hot: row-major in-tile slot <- Morton in-tile cell
-_TILE_PERM_MAT = np.zeros((TILE_CELLS, TILE_CELLS), dtype=np.float32)
-for _q in range(TILE_CELLS):
-    _y, _x = _q // TILE_SIDE, _q % TILE_SIDE
+# static [256, 256] one-hot: row-major in-SUB-tile slot <- Morton in-sub-tile
+# cell. Flushes apply it per 16x16 sub-tile (N_SUB quadrant matmuls) — a
+# full 1024x1024 perm would cost 16x the MACs and 4 MB of VMEM.
+_TILE_PERM_MAT = np.zeros((SUB_CELLS, SUB_CELLS), dtype=np.float32)
+for _q in range(SUB_CELLS):
+    _y, _x = _q // SUB_SIDE, _q % SUB_SIDE
     _m = 0
     for _b in range(4):
         _m |= ((_x >> _b) & 1) << (2 * _b)
@@ -78,12 +90,19 @@ for _q in range(TILE_CELLS):
     _TILE_PERM_MAT[_q, _m] = 1.0
 
 
+def _win_shape(reso: int):
+    """Static (win_y, win_x) of the sampling window at this resolution
+    (clamped to the plane: at reso == TILE_SIDE the window IS the plane)."""
+    return min(WIN_Y, reso), min(WIN_X, reso)
+
+
 def _tile_window_origin(t, bits: int, reso: int):
-    """Clamped top-left (wy, wx) of tile t's WIN_Y x WIN_X sampling window."""
+    """Clamped top-left (wy, wx) of tile t's win_y x win_x sampling window."""
+    win_y, win_x = _win_shape(reso)
     ty = _deinterleave_bits(t, bits, 1)
     tx = _deinterleave_bits(t, bits, 0)
-    wy = jnp.clip(ty * TILE_SIDE - 1, 0, max(reso - WIN_Y, 0))
-    wx = jnp.clip(tx * TILE_SIDE - 8, 0, max(reso - WIN_X, 0))
+    wy = jnp.clip(ty * TILE_SIDE - 1, 0, max(reso - win_y, 0))
+    wx = jnp.clip(tx * TILE_SIDE - 8, 0, max(reso - win_x, 0))
     # operands are 8-multiples but Mosaic can't see through the clip
     return wy, pl.multiple_of(wx, 8)
 
@@ -122,6 +141,7 @@ def _level_kernel(
     b = pl.program_id(0)
     k = pl.program_id(1)
     nc = pl.num_programs(1)
+    win_y, win_x = _win_shape(reso)
     t = ct_ref[b, k]
     active = t < n_tiles
     t_prev = jnp.where(k > 0, ct_ref[b, jnp.maximum(k - 1, 0)], -1)
@@ -132,7 +152,7 @@ def _level_kernel(
     def window_dma(bb, tt, slot):
         wy, wx = _tile_window_origin(tt, bits, reso)
         return pltpu.make_async_copy(
-            plane_ref.at[bb, pl.ds(wy, WIN_Y), pl.ds(wx, min(WIN_X, reso)), :],
+            plane_ref.at[bb, pl.ds(wy, win_y), pl.ds(wx, win_x), :],
             win_ref.at[slot],
             sem_win.at[slot],
         )
@@ -202,15 +222,16 @@ def _level_kernel(
         fy = ys - y0
         lx = x0.astype(jnp.int32) - wx
         ly = y0.astype(jnp.int32) - wy
-        c00 = ly * WIN_X + lx                  # (1, PCHUNK)
-        row_iota = jax.lax.broadcasted_iota(jnp.int32, (WIN_FLAT, PCHUNK), 0)
+        c00 = ly * win_x + lx                  # (1, PCHUNK)
+        row_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (win_y * win_x, PCHUNK), 0)
         w_t = (
             (row_iota == c00).astype(jnp.float32) * ((1 - fy) * (1 - fx))
             + (row_iota == c00 + 1).astype(jnp.float32) * ((1 - fy) * fx)
-            + (row_iota == c00 + WIN_X).astype(jnp.float32) * (fy * (1 - fx))
-            + (row_iota == c00 + WIN_X + 1).astype(jnp.float32) * (fy * fx)
+            + (row_iota == c00 + win_x).astype(jnp.float32) * (fy * (1 - fx))
+            + (row_iota == c00 + win_x + 1).astype(jnp.float32) * (fy * fx)
         )
-        win = win_ref[wslot].reshape(WIN_FLAT, win_ref.shape[-1])
+        win = win_ref[wslot].reshape(win_y * win_x, win_ref.shape[-1])
         # bf16 runs truncate the bilinear weights to bf16 for the MXU
         # contraction (~2^-8 sample-position quantization) — accepted serving
         # approximation (ADVICE r02), tolerance-gated in
@@ -270,12 +291,22 @@ def _level_kernel(
             cntout_ref[0, 0] = cnt_ref[:]
             cnt_col = cnt_ref[:].reshape(TILE_CELLS, 1)
             mean = acc_ref[:] / jnp.maximum(cnt_col, 1.0)
-            row_major = jax.lax.dot_general(
-                perm_ref[:], mean, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec,
-            )
-            pout_ref[0] = row_major.reshape(
-                TILE_SIDE, TILE_SIDE, -1).astype(dt)
+            # Morton -> row-major per 16x16 SUB-tile (N_SUB quadrant
+            # matmuls); sub-tile j's Morton quadrant is (x=j&1, y=j>>1)
+            for j in range(N_SUB):
+                sub = jax.lax.slice(
+                    mean, (j * SUB_CELLS, 0), ((j + 1) * SUB_CELLS,
+                                               mean.shape[1]))
+                rm = jax.lax.dot_general(
+                    perm_ref[:], sub,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )
+                sy, sx = (j >> 1) & 1, j & 1
+                pout_ref[0,
+                         sy * SUB_SIDE:(sy + 1) * SUB_SIDE,
+                         sx * SUB_SIDE:(sx + 1) * SUB_SIDE] = rm.reshape(
+                    SUB_SIDE, SUB_SIDE, -1).astype(dt)
 
 
 def _pad_lanes(x, mult=LANE):
@@ -389,7 +420,7 @@ def _fused_level_impl(plane, aux, cells_row, mask_row, c_last, ct, pt,
             pl.BlockSpec((1, fp), lambda *_: (0, 0)),             # b_out
             pl.BlockSpec((flp, fp), lambda *_: (0, 0)),           # w_c
             pl.BlockSpec((1, fp), lambda *_: (0, 0)),             # b_c
-            pl.BlockSpec((TILE_CELLS, TILE_CELLS), lambda *_: (0, 0)),
+            pl.BlockSpec((SUB_CELLS, SUB_CELLS), lambda *_: (0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, TILE_SIDE, TILE_SIDE, fp), pout_index),
@@ -400,7 +431,7 @@ def _fused_level_impl(plane, aux, cells_row, mask_row, c_last, ct, pt,
                              0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, WIN_Y, min(WIN_X, r), fp), dt),
+            pltpu.VMEM((2,) + _win_shape(r) + (fp,), dt),
             pltpu.VMEM((TILE_CELLS, fp), jnp.float32),
             pltpu.VMEM((1, TILE_CELLS), jnp.float32),
             pltpu.SMEM((1,), jnp.int32),

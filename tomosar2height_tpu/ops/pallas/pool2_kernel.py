@@ -33,7 +33,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tomosar2height_tpu.ops.pallas.level_kernel import LANE, PCHUNK, TILE_CELLS
+from tomosar2height_tpu.ops.pallas.level_kernel import (
+    LANE,
+    N_SUB,
+    PCHUNK,
+    SUB_CELLS,
+    SUB_SIDE,
+    TILE_CELLS,
+)
 
 
 def _reduce_kernel(
@@ -257,7 +264,7 @@ def _scatter_plane_kernel(
     ct_ref,     # scalar-prefetch: (B, NC) int32
     vals_ref,   # VMEM block (1, 1, PCHUNK, Fp)
     cells_ref,  # VMEM block (1, 1, 1, CL) int32
-    perm_ref,   # VMEM (TILE_CELLS, TILE_CELLS) f32 Morton->row-major one-hot
+    perm_ref,   # VMEM (SUB_CELLS, SUB_CELLS) f32 Morton->row-major one-hot
     out_ref,    # VMEM out block (1, TILE_SIDE, TILE_SIDE, Fp)
     cntout_ref,  # VMEM out block (1, 1, 1, TILE_CELLS) f32: per-cell counts
     acc_ref,    # scratch VMEM (TILE_CELLS, Fp) f32
@@ -309,11 +316,22 @@ def _scatter_plane_kernel(
             cntout_ref[0, 0] = cnt_ref[:]
             mean = acc_ref[:] / jnp.maximum(cnt_ref[:].reshape(TILE_CELLS, 1),
                                             1.0)
-            row_major = jax.lax.dot_general(
-                perm_ref[:], mean, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec,
-            )
-            out_ref[0] = row_major.reshape(TILE_SIDE, TILE_SIDE, -1).astype(dt)
+            # Morton -> row-major per 16x16 SUB-tile quadrant (level_kernel
+            # flush pattern); sub-tile j's quadrant is (x=j&1, y=j>>1)
+            for j in range(N_SUB):
+                sub = jax.lax.slice(
+                    mean, (j * SUB_CELLS, 0),
+                    ((j + 1) * SUB_CELLS, mean.shape[1]))
+                rm = jax.lax.dot_general(
+                    perm_ref[:], sub,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec,
+                )
+                sy, sx = (j >> 1) & 1, j & 1
+                out_ref[0,
+                        sy * SUB_SIDE:(sy + 1) * SUB_SIDE,
+                        sx * SUB_SIDE:(sx + 1) * SUB_SIDE] = rm.reshape(
+                    SUB_SIDE, SUB_SIDE, -1).astype(dt)
 
 
 @functools.partial(jax.jit, static_argnames=("reso", "interpret"))
@@ -345,7 +363,7 @@ def _scatter_plane_jit(values, cells_row, ct, tmask, reso, interpret):
         in_specs=[
             pl.BlockSpec((1, 1, PCHUNK, fp), lambda b_, k_, *_: (b_, k_, 0, 0)),
             pl.BlockSpec((1, 1, 1, cl), lambda b_, k_, *_: (b_, k_, 0, 0)),
-            pl.BlockSpec((TILE_CELLS, TILE_CELLS), lambda *_: (0, 0)),
+            pl.BlockSpec((SUB_CELLS, SUB_CELLS), lambda *_: (0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, TILE_SIDE, TILE_SIDE, fp), out_index),
@@ -421,8 +439,9 @@ def _scatter_plane2_bwd(reso, res, g):
     from tomosar2height_tpu.ops.sorted_scatter import plane_to_morton
 
     interpret = jax.default_backend() != "tpu"
+    from tomosar2height_tpu.ops.pallas.level_kernel import TILE_SIDE as _TS
     b = g.shape[0]
-    n_tiles = (reso // 16) ** 2
+    n_tiles = (reso // _TS) ** 2
     f = values.shape[-1]
     g_m = plane_to_morton(g.astype(dt)).reshape(b, n_tiles, TILE_CELLS, f)
     g_m = _pad_lanes(g_m)

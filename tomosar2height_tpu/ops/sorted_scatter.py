@@ -71,12 +71,45 @@ def host_morton_bucket(points: np.ndarray, mask: np.ndarray, reso: int):
 
 PAD_CELL_SENTINEL = np.int32(1 << 30)
 """Cell id assigned to padding rows in the aligned layout: large enough that
-``(sentinel >> 2*level) - tile_base`` never lands in a tile's [0, 256) local
-range at any pyramid level (level <= 6, tile_base < 2**16)."""
+``(sentinel >> 2*level) - tile_base`` never lands in a tile's [0, tile_cells)
+local range at any pyramid level (level <= 6, tile_base < 2**16)."""
+
+ALIGNED_TILE_CELLS = 1024
+"""Default cells per Morton tile of the chunk-aligned layout: matches the
+chunk-grid kernels' 32x32 iteration tile (ops/pallas/level_kernel.py
+TILE_CELLS). The round-2 per-op tile kernels (scatter/gather/pool_kernel.py,
+``sorted_impl='fused'``) keep 16x16 tiles — their layouts pass
+``tile_cells=256`` explicitly. Bigger tiles average more points against the
+128-row chunk quantum, cutting the layout's row inflation (2.0x -> ~1.25x at
+the flagship 16k-point/256^2 shapes) and with it every chunk-grid kernel's
+grid-step count."""
+
+
+def morton_cells_device(points: jnp.ndarray, mask: jnp.ndarray, reso: int,
+                        pad_value: int) -> jnp.ndarray:
+    """Recompute the sorted layouts' per-row Morton cell ids ON DEVICE.
+
+    Bit-exact with the host layouts (same IEEE f32 multiply, truncation and
+    clip as :func:`host_morton_bucket`), so the training/serving wire can
+    skip shipping the (B, Npad) int32 ``cells`` array entirely — points and
+    mask already ride the wire and determine it. ``pad_value`` is
+    PAD_CELL_SENTINEL for the chunk-aligned layout, ``reso*reso`` for the
+    plain sorted layout.
+    """
+    bits = int(reso).bit_length() - 1
+    assert (1 << bits) == reso, "plane resolution must be a power of two"
+    xy = points.astype(jnp.float32)  # host quantized on f32 coords
+    xi = jnp.clip((xy[..., 0] * reso).astype(jnp.int32), 0, reso - 1)
+    yi = jnp.clip((xy[..., 1] * reso).astype(jnp.int32), 0, reso - 1)
+    code = jnp.zeros_like(xi)
+    for b in range(bits):
+        code = code | (((xi >> b) & 1) << (2 * b))
+        code = code | (((yi >> b) & 1) << (2 * b + 1))
+    return jnp.where(mask, code, jnp.int32(pad_value))
 
 
 def aligned_bucket_size(bucket: int, reso: int, chunk: int = 128,
-                        tile_cells: int = 256) -> int:
+                        tile_cells: int = ALIGNED_TILE_CELLS) -> int:
     """Static point-array length of the chunk-aligned Morton layout.
 
     Every tile's padded range adds < chunk rows, so bucket + ntiles*chunk always
@@ -91,7 +124,7 @@ def host_morton_bucket_aligned(
     mask: np.ndarray,
     reso: int,
     chunk: int = 128,
-    tile_cells: int = 256,
+    tile_cells: int = ALIGNED_TILE_CELLS,
 ):
     """Morton-sort points and pad every tile's point run to a CHUNK multiple.
 
@@ -106,7 +139,9 @@ def host_morton_bucket_aligned(
         mask: (N,) bool validity.
         reso: finest plane resolution (power of two).
         chunk: row-alignment quantum (the kernels' inner matmul chunk).
-        tile_cells: cells per Morton tile (16x16 spatial block).
+        tile_cells: cells per Morton tile (a square spatial block; 1024 for
+            the chunk-grid kernels' 32x32 tiles, 256 for the round-2 16x16
+            per-op kernels).
 
     Returns:
         dict with

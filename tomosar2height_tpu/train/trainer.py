@@ -109,6 +109,13 @@ class Trainer:
         # restores the exact reference numerics.
         self.wire_dsm_dtype = np.dtype(
             str(cfg_training.get("wire_dsm_dtype", "float16")))
+        # 'device' drops the (B, Npad) int32 cell-id upload: the model
+        # recomputes it bit-exactly from points+mask (morton_cells_device) —
+        # ~12% of the per-step wire at flagship shapes. 'host' restores the
+        # explicit upload.
+        self.wire_cells = str(cfg_training.get("wire_cells", "device"))
+        if self.wire_cells not in ("device", "host"):
+            raise ValueError(f"Invalid wire_cells: {self.wire_cells}")
         self.tx = make_optimizer(self.optimize_every)
         self.mesh = mesh if mesh is not None else make_mesh()
 
@@ -218,6 +225,8 @@ class Trainer:
         for k in self.DEVICE_KEYS:
             if k not in batch:
                 continue
+            if k == "cell" and self.wire_cells == "device":
+                continue  # recomputed on device from points+mask
             v = batch[k]
             if k == "dsm" and v.dtype != self.wire_dsm_dtype:
                 # clamp to the wire dtype's finite range: garbage targets in

@@ -21,7 +21,7 @@ import numpy as np
 
 from tomosar2height_tpu.config import compose
 from tomosar2height_tpu.config.compose import default_conf_dir
-from tomosar2height_tpu.data import PatchLoader, TomoSARDataset
+from tomosar2height_tpu.data import PatchLoader, TomoSARDataset, tile_cells_for_impl
 from tomosar2height_tpu.infer import DSMEvaluator, DSMGenerator
 from tomosar2height_tpu.models import build_model
 from tomosar2height_tpu.parallel import make_mesh
@@ -92,6 +92,7 @@ def main(overrides=None):
             random_length=(cfg_training["random_dataset_length"] if key == "train" else None),
             flip_augm=cfg_training["augmentation"]["flip"] if key == "train" else False,
             rotate_augm=cfg_training["augmentation"]["rotate"] if key == "train" else False,
+            load_target=(key != "vis"),  # vis feeds DSMGenerator only
         )
         for key in ("train", "val", "vis")
     }
@@ -105,9 +106,11 @@ def main(overrides=None):
                  if cfg.select("dataset.points.sort", False)
                  and cfg["use_cloud"] and cfg["model"]["encoder"] == "pointnet_local_pool"
                  else None)
-    aligned = cfg.select("model.encoder_kwargs.sorted_impl", "cumsum") in ("fused", "fused2")
+    sorted_impl = cfg.select("model.encoder_kwargs.sorted_impl", "cumsum")
+    aligned = sorted_impl in ("fused", "fused2")
     common = dict(bucket_sizes=buckets, fixed_bucket=cfg_dataset["points"]["train_bucket"],
-                  sort_reso=sort_reso, aligned=aligned, n_workers=n_workers)
+                  sort_reso=sort_reso, aligned=aligned, n_workers=n_workers,
+                  tile_cells=tile_cells_for_impl(sorted_impl))
     loaders = {
         "train": PatchLoader(datasets["train"], cfg_training["batch_size"],
                              shuffle=True, drop_last=True, prefetch=prefetch, **common),
