@@ -331,5 +331,20 @@ if __name__ == "__main__":
                     help="with --e2e: accumulate the blend on-device, fetch "
                          "one stitched raster per scene (f32 accumulation)")
     a = ap.parse_args()
-    main(a.batch, a.points, a.iters, a.train, a.dtype, a.scan, a.sorted, a.e2e,
-         a.fused, a.big, a.device_blend)
+    try:
+        main(a.batch, a.points, a.iters, a.train, a.dtype, a.scan, a.sorted,
+             a.e2e, a.fused, a.big, a.device_blend)
+    except Exception:
+        # Insurance for the driver's unattended run: if the auto-selected
+        # fused2 kernel path fails to lower/compile on the live backend,
+        # fall back to the plain XLA path (94.7 tiles/s serving, 18.8 p/s
+        # training) so the bench still emits its JSON line.
+        if a.fused is not None or a.e2e:
+            raise
+        import sys
+        import traceback
+        traceback.print_exc(file=sys.stderr)
+        print("bench: fused2 default failed; retrying on the plain XLA path",
+              file=sys.stderr)
+        main(a.batch, a.points, a.iters, a.train, a.dtype, a.scan, a.sorted,
+             a.e2e, "none", a.big, a.device_blend)
