@@ -1,0 +1,32 @@
+#!/bin/bash
+# Round-3 on-chip measurement sweep: super-tile (32x32) chunk-grid kernels +
+# wire-slim serving. One TPU client at a time — run alone (see
+# .claude/skills/verify: a second process's first jit blocks forever).
+# Usage: bash scripts/run_r3_chip_measurements.sh [outfile]
+set -u
+OUT=${1:-/tmp/r3_measurements.log}
+cd "$(dirname "$0")/.."
+echo "=== r3 chip sweep $(date -u +%FT%TZ) ===" | tee -a "$OUT"
+
+run() {
+  echo "--- $* ---" | tee -a "$OUT"
+  timeout 1800 python "$@" 2>&1 | grep -v "^WARNING" | tail -4 | tee -a "$OUT"
+}
+
+# serving: fused2 super-tile batch sweep (default = b8)
+run bench.py
+run bench.py --batch 4
+run bench.py --batch 1
+run bench.py --batch 16
+# plain-path control (cross-day drift check)
+run bench.py --fused none --batch 1 --iters 60
+
+# training: fused2 full fused bwd
+run bench.py --train
+run bench.py --train --batch 4
+
+# e2e serving: device blend + wire-slim loader (native morton, no cells upload,
+# no GT crop) on the 48-patch big city
+run bench.py --e2e --device-blend --big
+run bench.py --e2e --device-blend --big --fused fused2
+echo "=== done $(date -u +%FT%TZ) ===" | tee -a "$OUT"

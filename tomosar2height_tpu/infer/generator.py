@@ -71,6 +71,7 @@ class DSMGenerator:
         pipeline_depth: int = 3,
         device_blend: bool = False,
         wire_dtype: str = "float32",
+        wire_cells: str = "device",
     ):
         """
         Args:
@@ -127,6 +128,14 @@ class DSMGenerator:
         # dominant device->host transfer (~17 MB/s relay); quantization is
         # <= ~5 cm at 100 m heights — serving-grade, not the parity default.
         self.wire_dtype = np.dtype(wire_dtype)
+        # 'device': skip uploading the (B, Npad) int32 Morton cell ids — the
+        # model recomputes them bit-exactly from points+mask on device
+        # (models/pointnet.py wire-slim path; same default as the trainer's
+        # training.wire_cells). Cells are ~24% of a cloud patch's upload
+        # bytes and the relay wire is the measured e2e bottleneck.
+        if wire_cells not in ("device", "host"):
+            raise ValueError(f"Invalid wire_cells: {wire_cells}")
+        self.wire_cells = wire_cells
         self._forward = jax.jit(self._forward_impl)
         import jax.numpy as jnp
 
@@ -179,8 +188,10 @@ class DSMGenerator:
 
     def _dispatch(self, params, batch):
         """Issue one batch's forward (async); inputs shard over the mesh."""
-        dev = {k: batch[k] for k in ("points", "point_mask", "image",
-                                     "cell", "cell_offsets") if k in batch}
+        keys = ["points", "point_mask", "image", "cell", "cell_offsets"]
+        if self.wire_cells == "device" and "cell_offsets" in batch:
+            keys.remove("cell")  # recomputed on device from points+mask
+        dev = {k: batch[k] for k in keys if k in batch}
         if self.mesh is not None:
             from tomosar2height_tpu.parallel.mesh import shard_batch
 
@@ -272,7 +283,9 @@ class DSMGenerator:
                 cur.get("points") if self.use_cloud else None,
                 cur.get("point_mask") if self.use_cloud else None,
                 cur.get("image") if self.use_image else None,
-                cur.get("cell") if self.use_cloud else None,
+                (cur.get("cell") if self.use_cloud and
+                 not (self.wire_cells == "device" and "cell_offsets" in cur)
+                 else None),
                 cur.get("cell_offsets") if self.use_cloud else None,
                 rows0, cols0, valid.astype(np.float32))
             t_dispatch += time.perf_counter() - t0

@@ -152,9 +152,18 @@ def host_morton_bucket_aligned(
         where Npad == aligned_bucket_size(len(points), reso, chunk).
     """
     n = points.shape[0]
-    order, code_sorted, offsets = host_morton_bucket(points, mask, reso)
     ntiles = (reso * reso) // tile_cells
     npad = aligned_bucket_size(n, reso, chunk, tile_cells)
+    if (points.shape[1] == 3 and reso & (reso - 1) == 0
+            and (reso * reso) % tile_cells == 0):
+        # C++ fast path (bit-identical layout, ~20x; loader hot path)
+        from tomosar2height_tpu import native
+
+        out = native.morton_align(points, mask, reso, chunk, tile_cells,
+                                  npad, int(PAD_CELL_SENTINEL))
+        if out is not None:
+            return out
+    order, code_sorted, offsets = host_morton_bucket(points, mask, reso)
 
     tile_off = offsets[::tile_cells].astype(np.int64)  # (ntiles + 1,)
     counts = np.diff(tile_off)
