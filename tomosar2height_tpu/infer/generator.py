@@ -136,6 +136,7 @@ class DSMGenerator:
         if wire_cells not in ("device", "host"):
             raise ValueError(f"Invalid wire_cells: {wire_cells}")
         self.wire_cells = wire_cells
+        self._band_fns = {}  # (r0, r1) -> jitted band finalize
         self._forward = jax.jit(self._forward_impl)
         import jax.numpy as jnp
 
@@ -254,7 +255,76 @@ class DSMGenerator:
             rows0[i], cols0[i] = t_row, l_col
         return rows0, cols0, valid
 
+    def _band_plan(self, tiff_data):
+        """Per-band last-touch batch index for early band fetch.
+
+        The sliding-window sampler's anchors fully determine every patch's
+        scene-raster footprint before any data loads, so the scene can be
+        split into patch-height row bands and each band finalized + fetched
+        the moment its last contributing batch has been blended — the
+        stitched-raster download (the dominant e2e phase through the ~17 MB/s
+        relay) then overlaps remaining device compute instead of serializing
+        after it. Returns ([(r0, r1)], last_touch) or None when patch origins
+        aren't precomputable (random sampler / unknown loader shape).
+        """
+        ds = getattr(self.data_loader, "dataset", None)
+        anchors = getattr(ds, "anchor_points", None)
+        bsz = getattr(self.data_loader, "batch_size", None)
+        if not anchors or bsz is None or getattr(ds, "random_sample", True):
+            return None
+        try:
+            nb = len(self.data_loader)
+        except TypeError:
+            return None
+        ph = int(self.patch_weight.shape[0])
+        H = int(self.dsm_shape[0])
+        band_h = ph
+        nbands = max(1, -(-H // band_h))
+        if nbands < 2:
+            return None  # nothing to overlap
+        patch_size = np.asarray(ds.patch_size, np.float64).reshape(-1)[:2]
+        last = np.full(nbands, -1, dtype=np.int64)
+        for j, a in enumerate(anchors):
+            k = j // bsz
+            if k >= nb:
+                break
+            mn = np.asarray(a["anchor"], np.float64)[:2]
+            max_c = (mn + patch_size
+                     - np.asarray(self.pixel_size).reshape(-1)[:2] / 2.0)
+            _, t_row = tiff_data.query_col_row(max_c[0], max_c[1])
+            # mirror lax.dynamic_update_slice's origin clamp in _blend_step
+            r_eff = min(max(int(t_row), 0), max(H - ph, 0))
+            b0 = r_eff // band_h
+            b1 = min(r_eff + ph - 1, H - 1) // band_h
+            for b in range(b0, min(b1, nbands - 1) + 1):
+                last[b] = max(last[b], k)
+        last[last < 0] = 0  # untouched bands: all-NaN, fetch immediately
+        bands = [(b * band_h, min((b + 1) * band_h, H)) for b in range(nbands)]
+        return bands, last
+
+    def _finalize_band(self, dsm_dev, wgt_dev, r0, r1):
+        """Jitted per-band finalize (static row range; one tiny program per
+        distinct band shape, cached)."""
+        fn = self._band_fns.get((r0, r1))
+        if fn is None:
+            import jax
+            import jax.numpy as jnp
+
+            wdt = jnp.float16 if self.wire_dtype == np.float16 else jnp.float32
+
+            def impl(d, w):
+                ds = jax.lax.slice(d, (r0, 0), (r1, d.shape[1]))
+                ws = jax.lax.slice(w, (r0, 0), (r1, w.shape[1]))
+                return jnp.where(ws > 0, jnp.maximum(ds / ws, 0.0),
+                                 jnp.nan).astype(wdt)
+
+            fn = jax.jit(impl)
+            self._band_fns[(r0, r1)] = fn
+        return fn(dsm_dev, wgt_dev)
+
     def _generate_dsm_device_blend(self, tiff_data, params, start):
+        from concurrent.futures import ThreadPoolExecutor
+
         import jax.numpy as jnp
 
         t_loader = t_dispatch = 0.0
@@ -262,6 +332,10 @@ class DSMGenerator:
         dsm_dev = jnp.zeros((h, w), jnp.float32)
         wgt_dev = jnp.zeros((h, w), jnp.float32)
         n_patches = 0
+        plan = self._band_plan(tiff_data)
+        fetch_ex = ThreadPoolExecutor(max_workers=2) if plan else None
+        band_futs = {}  # band idx -> Future[np.ndarray]
+        k = 0
         it = iter(self.data_loader)
         # NOTE: batch tensors are passed to the jitted call as host numpy —
         # the jit runtime ships all args with the execute message. An
@@ -288,15 +362,43 @@ class DSMGenerator:
                  else None),
                 cur.get("cell_offsets") if self.use_cloud else None,
                 rows0, cols0, valid.astype(np.float32))
+            if plan is not None:
+                # bands whose last contributing batch just blended: finalize
+                # on device and fetch on a thread, overlapping the wire
+                # transfer with the remaining batches' compute
+                bands, lastk = plan
+                for b in np.nonzero(lastk == k)[0]:
+                    r0, r1 = bands[b]
+                    arr = self._finalize_band(dsm_dev, wgt_dev, int(r0), int(r1))
+                    band_futs[int(b)] = fetch_ex.submit(np.asarray, arr)
+            k += 1
             t_dispatch += time.perf_counter() - t0
-        # drain: a 4-byte fetch syncs the whole dependency chain, separating
-        # device compute time from the stitched-raster wire transfer below
-        t0 = time.perf_counter()
-        float(jnp.max(wgt_dev[:1, :1]))
-        t_drain = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        out = np.asarray(self._blend_finalize(dsm_dev, wgt_dev))
-        t_fetch = time.perf_counter() - t0  # ONE fetch per scene
+        if plan is not None:
+            bands, lastk = plan
+            t0 = time.perf_counter()
+            # bands the plan scheduled past the actual batch count (loader
+            # yielded fewer batches) finalize now
+            for b in range(len(bands)):
+                if b not in band_futs:
+                    r0, r1 = bands[b]
+                    arr = self._finalize_band(dsm_dev, wgt_dev, int(r0), int(r1))
+                    band_futs[b] = fetch_ex.submit(np.asarray, arr)
+            out = np.empty((h, w), dtype=self.wire_dtype)
+            for b, fut in band_futs.items():
+                r0, r1 = bands[b]
+                out[r0:r1] = fut.result()
+            fetch_ex.shutdown()
+            t_drain = 0.0
+            t_fetch = time.perf_counter() - t0  # residual (un-overlapped) wait
+        else:
+            # drain: a 4-byte fetch syncs the whole dependency chain,
+            # separating device compute from the stitched-raster transfer
+            t0 = time.perf_counter()
+            float(jnp.max(wgt_dev[:1, :1]))
+            t_drain = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            out = np.asarray(self._blend_finalize(dsm_dev, wgt_dev))
+            t_fetch = time.perf_counter() - t0  # ONE fetch per scene
 
         t0 = time.perf_counter()
         tiff_data.set_data(np.maximum(out.astype(np.float32), 0.0))
