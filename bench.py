@@ -122,7 +122,7 @@ def e2e_bench(batch: int = 4, dtype: str = "float32", iters: int = 3,
 def main(batch: int | None = None, n_points: int = 16384, iters: int = 40, train: bool = False,
          dtype: str = "bfloat16", scan: int = 0, sorted_path: bool = False,
          e2e: bool = False, fused: bool | str | None = None, big: bool = False,
-         device_blend: bool = False):
+         device_blend: bool = False, image: bool = False):
     # mode-aware defaults (r03): serving AND training = fused2 chunk-grid
     # kernels at batch 8 — per-tile kernel cost is batch-independent and
     # convs amortize, so throughput rises monotonically to b8 (serving
@@ -160,7 +160,7 @@ def main(batch: int | None = None, n_points: int = 16384, iters: int = 40, train
 
     from tomosar2height_tpu.ops.sorted_scatter import host_morton_bucket
 
-    model = _flagship_model()
+    model = _flagship_model(use_image=image)
     if dtype != "float32":
         model = model.clone(dtype=jnp.dtype(dtype))
     rng = np.random.default_rng(0)
@@ -208,21 +208,27 @@ def main(batch: int | None = None, n_points: int = 16384, iters: int = 40, train
         cells = offsets = None
     points = jnp.asarray(pts_np)
     mask = jnp.asarray(mask_np)
+    # cloud+image fusion: a normalized 512^2 RGB crop per tile (NHWC)
+    img = (jnp.asarray(rng.normal(size=(batch, 512, 512, 3)).astype(np.float32))
+           if image else None)
 
     init_key = jax.random.PRNGKey(0)
-    params = model.init(init_key, points[:1, :256], mask[:1, :256], None)
+    params = model.init(init_key, points[:1, :256], mask[:1, :256],
+                        img[:1] if image else None)
 
     if train:
         from tomosar2height_tpu.parallel.mesh import make_mesh
         from tomosar2height_tpu.train.trainer import Trainer
 
         trainer = Trainer(model, {"optimize_every": 1}, use_cloud=True,
-                          mesh=make_mesh(1), donate=True)
+                          use_image=image, mesh=make_mesh(1), donate=True)
         batch_d = {
             "points": np.asarray(points), "point_mask": np.asarray(mask),
             "patch_valid": np.ones((batch,), bool),
             "dsm": rng.uniform(0, 30, (batch, 512, 512)).astype(np.float32),
         }
+        if image:
+            batch_d["image"] = np.asarray(img)
         if cells is not None:  # fused/fused2 training A/B
             batch_d["cell"] = np.asarray(cells)
             batch_d["cell_offsets"] = np.asarray(offsets)
@@ -272,11 +278,11 @@ def main(batch: int | None = None, n_points: int = 16384, iters: int = 40, train
             per_call_tiles = batch * scan
         else:
             @jax.jit
-            def fwd(params, points, mask, cells, offsets):
-                pa, _ = model.apply(params, points, mask, None, cells, offsets)
+            def fwd(params, points, mask, img, cells, offsets):
+                pa, _ = model.apply(params, points, mask, img, cells, offsets)
                 return pa.sum()
 
-            args = (params, points, mask, cells, offsets)
+            args = (params, points, mask, img, cells, offsets)
             per_call_tiles = batch
 
         float(fwd(*args))  # compile + warmup
@@ -330,10 +336,16 @@ if __name__ == "__main__":
     ap.add_argument("--device-blend", action="store_true",
                     help="with --e2e: accumulate the blend on-device, fetch "
                          "one stitched raster per scene (f32 accumulation)")
+    ap.add_argument("--image", action="store_true",
+                    help="cloud+image fusion flagship (the paper's headline "
+                         "config): adds the depth-6 512^2 image U-Net; "
+                         "serving (non-scan) and --train modes")
     a = ap.parse_args()
+    if a.image and a.scan > 1:
+        ap.error("--image is not supported with --scan")
     try:
         main(a.batch, a.points, a.iters, a.train, a.dtype, a.scan, a.sorted,
-             a.e2e, a.fused, a.big, a.device_blend)
+             a.e2e, a.fused, a.big, a.device_blend, a.image)
     except Exception:
         # Insurance for the driver's unattended run: if the auto-selected
         # fused2 kernel path fails to lower/compile on the live backend,
@@ -347,4 +359,4 @@ if __name__ == "__main__":
         print("bench: fused2 default failed; retrying on the plain XLA path",
               file=sys.stderr)
         main(a.batch, a.points, a.iters, a.train, a.dtype, a.scan, a.sorted,
-             a.e2e, "none", a.big, a.device_blend)
+             a.e2e, "none", a.big, a.device_blend, a.image)
