@@ -25,8 +25,12 @@ run bench.py --fused none --batch 1 --iters 60
 run bench.py --train
 run bench.py --train --batch 4
 
-# e2e serving: device blend + wire-slim loader (native morton, no cells upload,
-# no GT crop) on the 48-patch big city
+# e2e serving: device blend + wire-slim loader (native morton, no cells
+# upload, no GT crop) + banded early fetch on the 48-patch big city
 run bench.py --e2e --device-blend --big
 run bench.py --e2e --device-blend --big --fused fused2
+
+# cloud+image fusion flagship (the paper's headline config)
+run bench.py --image
+run bench.py --image --train
 echo "=== done $(date -u +%FT%TZ) ===" | tee -a "$OUT"
