@@ -124,3 +124,49 @@ class TestShardedInference:
         with pytest.raises(AssertionError):
             DSMGenerator(model, lambda: None, loader, dsm_pixel_size=[1.0, 1.0],
                          use_cloud=True, use_image=False, mesh=make_mesh(8))
+
+
+class TestBandPlan:
+    def test_last_touch_consistent_with_actual_origins(self, city, tmp_path):
+        """The banded-early-fetch plan's invariant: no batch AFTER a band's
+        last-touch index writes rows into that band (otherwise a band would
+        be fetched before its content is final)."""
+        from tomosar2height_tpu.geo.raster import RasterData
+
+        cfg, root = city
+        ds = TomoSARDataset("vis", cfg["dataset"])
+        loader = PatchLoader(ds, batch_size=4,
+                             bucket_sizes=cfg["dataset"]["points"]["bucket_sizes"],
+                             fixed_bucket=cfg["dataset"]["points"]["train_bucket"])
+        model = _tiny_model()
+        sample = loader.collate([ds[0]])
+        params = model.init(jax.random.PRNGKey(0), sample["points"],
+                            sample["point_mask"], None)
+        gen = DSMGenerator(model, lambda: params, loader,
+                           dsm_pixel_size=[1.0, 1.0],
+                           half_blend_percent=[0.5, 0.5],
+                           use_cloud=True, use_image=False, mesh=None,
+                           device_blend=True)
+        tiff_data = RasterData()
+        tiff_data.set_transform(
+            bl_bound=[gen.l_bound, gen.b_bound],
+            tr_bound=[gen.r_bound, gen.t_bound],
+            pixel_size=gen.pixel_size, crs_epsg=gen.crs_epsg)
+        plan = gen._band_plan(tiff_data)
+        assert plan is not None, "sliding-window sampler must be plannable"
+        bands, last = plan
+        H = int(gen.dsm_shape[0])
+        ph = int(gen.patch_weight.shape[0])
+        assert bands[0][0] == 0 and bands[-1][1] == H
+        # replay the real loader and check actual per-batch row footprints
+        for k, batch in enumerate(loader):
+            rows0, cols0, valid = gen._patch_origins(tiff_data, batch)
+            for i in range(len(valid)):
+                if not valid[i]:
+                    continue
+                r_eff = min(max(int(rows0[i]), 0), max(H - ph, 0))
+                for b, (r0, r1) in enumerate(bands):
+                    if r_eff < r1 and r_eff + ph > r0:  # patch touches band
+                        assert last[b] >= k, (
+                            f"band {b} fetched at batch {last[b]} but "
+                            f"batch {k} still writes rows {r_eff}..{r_eff+ph}")
