@@ -122,7 +122,8 @@ def e2e_bench(batch: int = 4, dtype: str = "float32", iters: int = 3,
 def main(batch: int | None = None, n_points: int = 16384, iters: int = 40, train: bool = False,
          dtype: str = "bfloat16", scan: int = 0, sorted_path: bool = False,
          e2e: bool = False, fused: bool | str | None = None, big: bool = False,
-         device_blend: bool = False, image: bool = False):
+         device_blend: bool = False, image: bool = False,
+         fused_head: bool = False):
     # mode-aware defaults (r03): serving AND training = fused2 chunk-grid
     # kernels at batch 8 — per-tile kernel cost is batch-independent and
     # convs amortize, so throughput rises monotonically to b8 (serving
@@ -163,6 +164,11 @@ def main(batch: int | None = None, n_points: int = 16384, iters: int = 40, train
     model = _flagship_model(use_image=image)
     if dtype != "float32":
         model = model.clone(dtype=jnp.dtype(dtype))
+    if fused_head:
+        # one-pallas_call ConvDecoder head (ops/pallas/decoder_kernel.py)
+        dk = dict(model.decoder_kwargs or {})
+        dk["fused_head"] = True
+        model = model.clone(decoder_kwargs=dk)
     rng = np.random.default_rng(0)
     pts_np = rng.uniform(0.001, 0.999, (batch, n_points, 3)).astype(np.float32)
     mask_np = np.ones((batch, n_points), dtype=bool)
@@ -340,12 +346,15 @@ if __name__ == "__main__":
                     help="cloud+image fusion flagship (the paper's headline "
                          "config): adds the depth-6 512^2 image U-Net; "
                          "serving (non-scan) and --train modes")
+    ap.add_argument("--fused-head", action="store_true",
+                    help="one-pallas_call ConvDecoder head (whole conv chain "
+                         "resident in VMEM; ops/pallas/decoder_kernel.py)")
     a = ap.parse_args()
     if a.image and a.scan > 1:
         ap.error("--image is not supported with --scan")
     try:
         main(a.batch, a.points, a.iters, a.train, a.dtype, a.scan, a.sorted,
-             a.e2e, a.fused, a.big, a.device_blend, a.image)
+             a.e2e, a.fused, a.big, a.device_blend, a.image, a.fused_head)
     except Exception:
         # Insurance for the driver's unattended run: if the auto-selected
         # fused2 kernel path fails to lower/compile on the live backend,
@@ -359,4 +368,4 @@ if __name__ == "__main__":
         print("bench: fused2 default failed; retrying on the plain XLA path",
               file=sys.stderr)
         main(a.batch, a.points, a.iters, a.train, a.dtype, a.scan, a.sorted,
-             a.e2e, "none", a.big, a.device_blend, a.image)
+             a.e2e, "none", a.big, a.device_blend, a.image, False)

@@ -152,6 +152,37 @@ class DenseParams(nn.Module):
         return k, b
 
 
+class Conv3x3Params(nn.Module):
+    """Declares Conv3x3-compatible params ('kernel' (3, 3, Cin, Cout) +
+    'bias') without applying them — the fused decoder-head kernel
+    (ops/pallas/decoder_kernel.py) consumes the raw arrays. Tree-identical
+    to :class:`Conv3x3`, so checkpoints are interchangeable."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", kernel_init,
+                       (3, 3, self.in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
+class Conv1x1Params(nn.Module):
+    """Raw params of a 1x1 conv / Conv1x1Split head, tree-identical."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", kernel_init,
+                       (1, 1, self.in_features, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
 class MLP2Params(nn.Module):
     """Raw params of :class:`MLP2` (fc_in/fc_out), tree-identical."""
 

@@ -28,9 +28,29 @@ class ConvDecoder(nn.Module):
     out_channels: int = 1
     leaky: bool = False
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.fused and not self.leaky:
+            # one pallas_call for the whole chain: intermediates stay in
+            # VMEM, weights resident (ops/pallas/decoder_kernel.py); param
+            # tree identical to the composed path below
+            from tomosar2height_tpu.models.blocks import (
+                Conv1x1Params,
+                Conv3x3Params,
+            )
+            from tomosar2height_tpu.ops.pallas.decoder_kernel import (
+                fused_conv_decoder,
+            )
+
+            cin = x.shape[-1]
+            w1, b1 = Conv3x3Params(64, cin, name="conv1")()
+            w2, b2 = Conv3x3Params(128, 64, name="conv2")()
+            w3, b3 = Conv3x3Params(64, 128, name="conv3")()
+            w4, b4 = Conv1x1Params(self.out_channels, cin + 256, name="conv4")()
+            return fused_conv_decoder(x.astype(self.dtype), w1, b1, w2, b2,
+                                      w3, b3, w4, b4)
         if self.leaky:  # leaky act is not fused into the conv kernel
             act = nn.leaky_relu
             c3 = lambda f, n: conv3x3(f, n, self.dtype)
@@ -115,6 +135,7 @@ class PixelwiseDecoder(nn.Module):
     mode: str = "conv"
     use_footprint: bool = False
     dtype: jnp.dtype = jnp.float32
+    fused_head: bool = False  # one-pallas_call ConvDecoder (serving)
 
     @nn.compact
     def __call__(self, feature_planes: dict):
@@ -128,9 +149,11 @@ class PixelwiseDecoder(nn.Module):
 
         x_footprint = None
         if self.mode == "conv":
-            x = ConvDecoder(self.out_dim, self.leaky, self.dtype, name="conv_decoder")(c)
+            x = ConvDecoder(self.out_dim, self.leaky, self.dtype,
+                            fused=self.fused_head, name="conv_decoder")(c)
             if self.use_footprint:
                 x_footprint = ConvDecoder(self.out_dim, False, self.dtype,
+                                          fused=self.fused_head,
                                           name="conv_decoder_footprint")(c)
         else:
             # Reference quirk mirrored exactly (pixel.py:88): the call
