@@ -352,16 +352,19 @@ class DSMGenerator:
             t0 = time.perf_counter()
             rows0, cols0, valid = self._patch_origins(tiff_data, cur)
             n_patches += int(valid.sum())
-            dsm_dev, wgt_dev = self._blend_step(
-                dsm_dev, wgt_dev, params,
-                cur.get("points") if self.use_cloud else None,
-                cur.get("point_mask") if self.use_cloud else None,
-                cur.get("image") if self.use_image else None,
-                (cur.get("cell") if self.use_cloud and
-                 not (self.wire_cells == "device" and "cell_offsets" in cur)
-                 else None),
-                cur.get("cell_offsets") if self.use_cloud else None,
-                rows0, cols0, valid.astype(np.float32))
+            if valid.any():  # all-invalid batches contribute nothing
+                dsm_dev, wgt_dev = self._blend_step(
+                    dsm_dev, wgt_dev, params,
+                    cur.get("points") if self.use_cloud else None,
+                    cur.get("point_mask") if self.use_cloud else None,
+                    cur.get("image") if self.use_image else None,
+                    (cur.get("cell") if self.use_cloud and
+                     not (self.wire_cells == "device" and "cell_offsets" in cur)
+                     else None),
+                    cur.get("cell_offsets") if self.use_cloud else None,
+                    rows0, cols0, valid.astype(np.float32))
+            # band finalize runs even for skipped batches: the plan's
+            # last-touch indices must fire on schedule
             if plan is not None:
                 # bands whose last contributing batch just blended: finalize
                 # on device and fetch on a thread, overlapping the wire
