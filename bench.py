@@ -123,7 +123,7 @@ def main(batch: int | None = None, n_points: int = 16384, iters: int = 40, train
          dtype: str = "bfloat16", scan: int = 0, sorted_path: bool = False,
          e2e: bool = False, fused: bool | str | None = None, big: bool = False,
          device_blend: bool = False, image: bool = False,
-         fused_head: bool = False):
+         fused_head: bool = False, fused_convs: bool = False):
     # mode-aware defaults (r03): serving AND training = fused2 chunk-grid
     # kernels at batch 8 — per-tile kernel cost is batch-independent and
     # convs amortize, so throughput rises monotonically to b8 (serving
@@ -169,6 +169,17 @@ def main(batch: int | None = None, n_points: int = 16384, iters: int = 40, train
         dk = dict(model.decoder_kwargs or {})
         dk["fused_head"] = True
         model = model.clone(decoder_kwargs=dk)
+    if fused_convs:
+        # band-fused conv3x3 pairs in ALTO + the image U-Net
+        # (ops/pallas/convpair_kernel.py)
+        ek = dict(model.encoder_kwargs)
+        ek["unet_kwargs"] = dict(ek.get("unet_kwargs") or {},
+                                 fused_convs=True)
+        kw = {"encoder_kwargs": ek}
+        if image:
+            kw["encoder2_kwargs"] = dict(model.encoder2_kwargs or {},
+                                         fused_convs=True)
+        model = model.clone(**kw)
     rng = np.random.default_rng(0)
     pts_np = rng.uniform(0.001, 0.999, (batch, n_points, 3)).astype(np.float32)
     mask_np = np.ones((batch, n_points), dtype=bool)
@@ -349,12 +360,16 @@ if __name__ == "__main__":
     ap.add_argument("--fused-head", action="store_true",
                     help="one-pallas_call ConvDecoder head (whole conv chain "
                          "resident in VMEM; ops/pallas/decoder_kernel.py)")
+    ap.add_argument("--fused-convs", action="store_true",
+                    help="band-fused conv3x3 pairs in ALTO + the image U-Net "
+                         "(ops/pallas/convpair_kernel.py)")
     a = ap.parse_args()
     if a.image and a.scan > 1:
         ap.error("--image is not supported with --scan")
     try:
         main(a.batch, a.points, a.iters, a.train, a.dtype, a.scan, a.sorted,
-             a.e2e, a.fused, a.big, a.device_blend, a.image, a.fused_head)
+             a.e2e, a.fused, a.big, a.device_blend, a.image, a.fused_head,
+             a.fused_convs)
     except Exception:
         # Insurance for the driver's unattended run: if the auto-selected
         # fused2 kernel path fails to lower/compile on the live backend,

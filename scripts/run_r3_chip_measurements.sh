@@ -30,9 +30,12 @@ run bench.py --train --batch 4
 run bench.py --e2e --device-blend --big
 run bench.py --e2e --device-blend --big --fused fused2
 
-# fused decoder head A/B (the largest remaining conv category)
+# fused decoder head / conv-pair A/Bs (the remaining conv categories)
 run bench.py --fused-head
 run bench.py --fused-head --batch 4
+run bench.py --fused-convs
+run bench.py --fused-head --fused-convs
+run bench.py --fused-head --fused-convs --batch 4
 
 # cloud+image fusion flagship (the paper's headline config)
 run bench.py --image

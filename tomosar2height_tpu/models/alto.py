@@ -168,6 +168,27 @@ def _fused_round_trip(module, x, xy, c_last, mask, cell_cache, features, dtype):
                        tmask, mask, reso, cell_cache["finest"])
 
 
+def _conv_pair(module, x):
+    """The level-opening conv3x3(relu) x2 (reference alto.py:97-138) — one
+    fused band kernel when ``module.fused_convs`` and the plane shape
+    supports banding, else the composed convs. Identical param tree either
+    way (Conv3x3Params == Conv3x3), so checkpoints interchange."""
+    if (module.fused_convs and x.shape[1] % 8 == 0 and x.shape[1] >= 8
+            and x.shape[2] % 8 == 0):
+        from tomosar2height_tpu.models.blocks import Conv3x3Params
+        from tomosar2height_tpu.ops.pallas.convpair_kernel import (
+            fused_conv_pair,
+        )
+
+        w1, b1 = Conv3x3Params(module.features, x.shape[-1], name="conv1")()
+        w2, b2 = Conv3x3Params(module.features, module.features,
+                               name="conv2")()
+        y, _ = fused_conv_pair(x.astype(module.dtype), w1, b1, w2, b2, False)
+        return y
+    x = conv3x3(module.features, "conv1", module.dtype, relu=True)(x)
+    return conv3x3(module.features, "conv2", module.dtype, relu=True)(x)
+
+
 class AltoDownConv(nn.Module):
     """Encoder level with grid<->point communication (reference alto.py:48-138)."""
 
@@ -177,11 +198,11 @@ class AltoDownConv(nn.Module):
     depth: int
     sample_mode: str = "bilinear"
     dtype: jnp.dtype = jnp.float32
+    fused_convs: bool = False
 
     @nn.compact
     def __call__(self, xy, x, x_after_conv, c_last, mask, cell_cache):
-        x = conv3x3(self.features, "conv1", self.dtype, relu=True)(x)
-        x = conv3x3(self.features, "conv2", self.dtype, relu=True)(x)
+        x = _conv_pair(self, x)
 
         if x_after_conv is not None:
             if self.level >= 2:
@@ -218,6 +239,7 @@ class AltoUpConv(nn.Module):
     merge_mode: str = "concat"
     sample_mode: str = "bilinear"
     dtype: jnp.dtype = jnp.float32
+    fused_convs: bool = False
 
     @nn.compact
     def __call__(self, xy, from_down, from_up, x_after_conv, c_last, mask, cell_cache):
@@ -232,8 +254,7 @@ class AltoUpConv(nn.Module):
             x = jnp.concatenate([from_up, from_down], axis=-1)
         else:
             x = from_up + from_down
-        x = conv3x3(self.features, "conv1", self.dtype, relu=True)(x)
-        x = conv3x3(self.features, "conv2", self.dtype, relu=True)(x)
+        x = _conv_pair(self, x)
 
         if x_after_conv is not None:
             if last:
@@ -276,6 +297,7 @@ class AltoUNet(nn.Module):
     up_mode: str = "transpose"
     sample_mode: str = "bilinear"
     dtype: jnp.dtype = jnp.float32
+    fused_convs: bool = False
 
     @nn.compact
     def __call__(
@@ -313,7 +335,8 @@ class AltoUNet(nn.Module):
             outs = self.start_filts * (2 ** i)
             pooling = 0 < i < self.depth - 1
             x, before_pool, x_after_conv, c = AltoDownConv(
-                outs, i, pooling, self.depth, self.sample_mode, self.dtype, name=f"down{i}"
+                outs, i, pooling, self.depth, self.sample_mode, self.dtype,
+                fused_convs=self.fused_convs, name=f"down{i}"
             )(xy, x, x_after_conv, c, mask, cell_cache)
             encoder_outs.append(before_pool)
 
@@ -322,7 +345,7 @@ class AltoUNet(nn.Module):
             from_down = encoder_outs[-(i + 2)]
             x, x_after_conv, c = AltoUpConv(
                 outs, i, self.depth, self.merge_mode, self.sample_mode, self.dtype,
-                name=f"up{i}",
+                fused_convs=self.fused_convs, name=f"up{i}",
             )(xy, from_down, x, x_after_conv, c, mask, cell_cache)
 
         return conv1x1(self.num_classes, "conv_final", self.dtype)(x)

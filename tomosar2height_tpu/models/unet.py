@@ -15,15 +15,36 @@ import jax.numpy as jnp
 from tomosar2height_tpu.models.blocks import conv1x1, conv3x3, max_pool_2x2, upconv2x2
 
 
+def _fusable(module, x):
+    """Band-fused conv pair applies when enabled and the plane shape banding
+    holds (8-divisible square-ish plane; pooling additionally handled by the
+    kernel). Param tree is identical either way."""
+    return (module.fused_convs and x.shape[1] % 8 == 0 and x.shape[1] >= 8
+            and x.shape[2] % 8 == 0)
+
+
 class DownConv(nn.Module):
     """(conv3x3 + ReLU) x2, optional 2x2 maxpool (reference unet.py:48-73)."""
 
     features: int
     pooling: bool = True
     dtype: jnp.dtype = jnp.float32
+    fused_convs: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if _fusable(self, x):
+            from tomosar2height_tpu.models.blocks import Conv3x3Params
+            from tomosar2height_tpu.ops.pallas.convpair_kernel import (
+                fused_conv_pair,
+            )
+
+            w1, b1 = Conv3x3Params(self.features, x.shape[-1], name="conv1")()
+            w2, b2 = Conv3x3Params(self.features, self.features,
+                                   name="conv2")()
+            before_pool, pooled = fused_conv_pair(
+                x.astype(self.dtype), w1, b1, w2, b2, self.pooling)
+            return (pooled if self.pooling else before_pool), before_pool
         x = conv3x3(self.features, "conv1", self.dtype, relu=True)(x)
         x = conv3x3(self.features, "conv2", self.dtype, relu=True)(x)
         before_pool = x
@@ -39,6 +60,7 @@ class UpConv(nn.Module):
     merge_mode: str = "concat"
     up_mode: str = "transpose"
     dtype: jnp.dtype = jnp.float32
+    fused_convs: bool = False
 
     @nn.compact
     def __call__(self, from_down, from_up):
@@ -52,6 +74,17 @@ class UpConv(nn.Module):
             x = jnp.concatenate([from_up, from_down], axis=-1)
         else:
             x = from_up + from_down
+        if _fusable(self, x):
+            from tomosar2height_tpu.models.blocks import Conv3x3Params
+            from tomosar2height_tpu.ops.pallas.convpair_kernel import (
+                fused_conv_pair,
+            )
+
+            w1, b1 = Conv3x3Params(self.features, x.shape[-1], name="conv1")()
+            w2, b2 = Conv3x3Params(self.features, self.features,
+                                   name="conv2")()
+            return fused_conv_pair(x.astype(self.dtype), w1, b1, w2, b2,
+                                   False)[0]
         x = conv3x3(self.features, "conv1", self.dtype, relu=True)(x)
         x = conv3x3(self.features, "conv2", self.dtype, relu=True)(x)
         return x
@@ -72,6 +105,7 @@ class UNet(nn.Module):
     up_mode: str = "transpose"
     merge_mode: str = "concat"
     dtype: jnp.dtype = jnp.float32
+    fused_convs: bool = False
 
     def __post_init__(self):
         super().__post_init__()
@@ -89,13 +123,16 @@ class UNet(nn.Module):
         for i in range(self.depth):
             outs = self.start_filts * (2 ** i)
             pooling = i < self.depth - 1
-            x, before_pool = DownConv(outs, pooling, self.dtype, name=f"down{i}")(x)
+            x, before_pool = DownConv(outs, pooling, self.dtype,
+                                      fused_convs=self.fused_convs,
+                                      name=f"down{i}")(x)
             encoder_outs.append(before_pool)
 
         for i in range(self.depth - 1):
             outs = outs // 2
             before_pool = encoder_outs[-(i + 2)]
-            x = UpConv(outs, self.merge_mode, self.up_mode, self.dtype, name=f"up{i}")(
+            x = UpConv(outs, self.merge_mode, self.up_mode, self.dtype,
+                       fused_convs=self.fused_convs, name=f"up{i}")(
                 before_pool, x
             )
 
