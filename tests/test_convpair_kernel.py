@@ -93,3 +93,28 @@ class TestModelIntegration:
             np.asarray(fused.apply(params, pts, plane, c, mask)),
             np.asarray(plain.apply(params, pts, plane, c, mask)),
             rtol=1e-4, atol=1e-3)
+
+
+class TestMeshSharding:
+    def test_batch_shards_over_mesh(self, rng):
+        """GSPMD batch-shards the band kernels over the device mesh."""
+        from tomosar2height_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs a multi-device mesh")
+        from tomosar2height_tpu.models.decoder import ConvDecoder
+        from tomosar2height_tpu.models.unet import UNet
+
+        mesh = make_mesh(2)
+        for mod in (ConvDecoder(1, False, jnp.float32, fused=True),
+                    UNet(num_classes=8, depth=3, start_filts=8,
+                         fused_convs=True)):
+            x = np.asarray(rng.normal(size=(4, 64, 64, 8 if isinstance(mod, ConvDecoder) else 3)),
+                           np.float32)
+            params = mod.init(jax.random.PRNGKey(0), jnp.asarray(x[:1]))
+            dev = shard_batch({"x": x}, mesh)
+            rp = replicate(params, mesh)
+            out = jax.jit(lambda pr, v: mod.apply(pr, v))(rp, dev["x"])
+            ref = mod.apply(params, jnp.asarray(x))
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=1e-5, atol=1e-4)
