@@ -17,7 +17,9 @@ import numpy as np
 
 def e2e_bench(batch: int = 4, dtype: str = "float32", iters: int = 3,
               sorted_path: bool = False, big: bool = False,
-              fused: bool | str = False, device_blend: bool = False) -> dict:
+              fused: bool | str = False, device_blend: bool = False,
+              image: bool = False, fused_head: bool = False,
+              fused_convs: bool = False) -> dict:
     """End-to-end serving benchmark: loader -> device forwards -> f64 host
     blend -> GeoTIFF write over the synthetic city (VERDICT r01 item 5;
     reference hot path generator.py:130-159). Returns the MEDIAN iteration's
@@ -75,6 +77,12 @@ def e2e_bench(batch: int = 4, dtype: str = "float32", iters: int = 3,
         f"training.val_batch_size={batch}",
         f"model.dtype={dtype}",
     ]
+    if fused_head:
+        overrides.append("model.decoder_pixel_kwargs.fused_head=true")
+    if fused_convs:
+        overrides.append("model.encoder_kwargs.unet_kwargs.fused_convs=true")
+        if image:
+            overrides.append("model.encoder2_kwargs.fused_convs=true")
     if not os.path.exists(os.path.join(root, "generated", "chunk_info.yaml")):
         # ~0.06 pts/m^2 fills the 16k bucket on a 512 m patch without overflow
         kw = dict(width=width, height=height) if big else {}
@@ -140,7 +148,8 @@ def main(batch: int | None = None, n_points: int = 16384, iters: int = 40, train
         batch = 4 if e2e else (8 if fused else 1)
     if e2e:
         stats = e2e_bench(batch, dtype, sorted_path=sorted_path, big=big,
-                          fused=fused, device_blend=device_blend)
+                          fused=fused, device_blend=device_blend, image=image,
+                          fused_head=fused_head, fused_convs=fused_convs)
         print(json.dumps({
             "metric": "ndsm_tiles_per_sec_e2e",
             "value": round(stats["patches_per_s"], 3),  # MEDIAN of iters
