@@ -92,7 +92,7 @@ def e2e_bench(batch: int = 4, dtype: str = "float32", iters: int = 3,
     cfg = compose(default_conf_dir(), overrides=overrides)
 
     dataset = TomoSARDataset("vis", cfg["dataset"], random_sample=False,
-                             load_target=False)
+                             load_target=False, load_image=False)
     sort_reso = 256 if (sorted_path or fused) else None
     loader = PatchLoader(dataset, batch, [16384], fixed_bucket=16384,
                          sort_reso=sort_reso, aligned=bool(fused),

@@ -48,7 +48,8 @@ def main(overrides=None):
     enable_compile_cache()
 
     test_dataset = TomoSARDataset("test", cfg_dataset, random_sample=False,
-                                  load_target=False)
+                                  load_target=False,
+                                  load_image=cfg["use_image"])
     sort_reso = (cfg.select("model.encoder_kwargs.plane_resolution")
                  if cfg.select("dataset.points.sort", False)
                  and cfg["use_cloud"] and cfg["model"]["encoder"] == "pointnet_local_pool"

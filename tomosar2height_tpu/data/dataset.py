@@ -48,12 +48,16 @@ class TomoSARDataset:
         flip_augm: bool = False,
         rotate_augm: bool = False,
         load_target: bool = True,
+        load_image: bool = True,
     ):
         """``load_target=False`` skips the per-patch GT-nDSM crop/copy —
         inference loaders (DSMGenerator) never consume the target, and the
-        copy is a measurable share of the serving loader's critical path."""
+        copy is a measurable share of the serving loader's critical path.
+        ``load_image=False`` likewise skips satellite-image loading and the
+        per-patch 512x512x3 crop (~1.6 ms/patch) for cloud-only runs."""
         self.split = split
         self.load_target = bool(load_target)
+        self.load_image = bool(load_image)
         self._cfg_data = cfg_dataset
         self.patch_size = np.asarray(cfg_dataset["patch_size"], dtype=np.float64)
         self.dataset_chunk_idx_ls: List[int] = list(cfg_dataset[f"{split}_chunks"])
@@ -65,7 +69,7 @@ class TomoSARDataset:
 
         # satellite images (optional): normalize once, keep HWC float32
         self.images: List[RasterReader] = []
-        images_dic = cfg_dataset.get("satellite_image")
+        images_dic = cfg_dataset.get("satellite_image") if self.load_image else None
         self.norm_image_data: Optional[np.ndarray] = None
         if images_dic is not None:
             folder = images_dic["folder"]

@@ -93,6 +93,7 @@ def main(overrides=None):
             flip_augm=cfg_training["augmentation"]["flip"] if key == "train" else False,
             rotate_augm=cfg_training["augmentation"]["rotate"] if key == "train" else False,
             load_target=(key != "vis"),  # vis feeds DSMGenerator only
+            load_image=cfg["use_image"],
         )
         for key in ("train", "val", "vis")
     }
