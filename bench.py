@@ -19,7 +19,7 @@ def e2e_bench(batch: int = 4, dtype: str = "float32", iters: int = 3,
               sorted_path: bool = False, big: bool = False,
               fused: bool | str = False, device_blend: bool = False,
               image: bool = False, fused_head: bool = False,
-              fused_convs: bool = False) -> dict:
+              fused_convs: bool = False, wire_u16: bool = False) -> dict:
     """End-to-end serving benchmark: loader -> device forwards -> f64 host
     blend -> GeoTIFF write over the synthetic city (VERDICT r01 item 5;
     reference hot path generator.py:130-159). Returns the MEDIAN iteration's
@@ -96,7 +96,8 @@ def e2e_bench(batch: int = 4, dtype: str = "float32", iters: int = 3,
     sort_reso = 256 if (sorted_path or fused) else None
     loader = PatchLoader(dataset, batch, [16384], fixed_bucket=16384,
                          sort_reso=sort_reso, aligned=bool(fused),
-                         prefetch=2, n_workers=4)
+                         prefetch=2, n_workers=4,
+                         wire_points="uint16" if wire_u16 else "float32")
     model = build_model(cfg)
     if fused:
         ek = dict(model.encoder_kwargs)
@@ -131,7 +132,8 @@ def main(batch: int | None = None, n_points: int = 16384, iters: int = 40, train
          dtype: str = "bfloat16", scan: int = 0, sorted_path: bool = False,
          e2e: bool = False, fused: bool | str | None = None, big: bool = False,
          device_blend: bool = False, image: bool = False,
-         fused_head: bool = False, fused_convs: bool = False):
+         fused_head: bool = False, fused_convs: bool = False,
+         wire_u16: bool = False):
     # mode-aware defaults (r03): serving AND training = fused2 chunk-grid
     # kernels at batch 8 — per-tile kernel cost is batch-independent and
     # convs amortize, so throughput rises monotonically to b8 (serving
@@ -149,7 +151,8 @@ def main(batch: int | None = None, n_points: int = 16384, iters: int = 40, train
     if e2e:
         stats = e2e_bench(batch, dtype, sorted_path=sorted_path, big=big,
                           fused=fused, device_blend=device_blend, image=image,
-                          fused_head=fused_head, fused_convs=fused_convs)
+                          fused_head=fused_head, fused_convs=fused_convs,
+                          wire_u16=wire_u16)
         print(json.dumps({
             "metric": "ndsm_tiles_per_sec_e2e",
             "value": round(stats["patches_per_s"], 3),  # MEDIAN of iters
@@ -372,13 +375,19 @@ if __name__ == "__main__":
     ap.add_argument("--fused-convs", action="store_true",
                     help="band-fused conv3x3 pairs in ALTO + the image U-Net "
                          "(ops/pallas/convpair_kernel.py)")
+    ap.add_argument("--wire-u16", action="store_true",
+                    help="with --e2e: ship point coords as uint16 (halves "
+                         "the dominant upload bytes; <=8 mm quantization)")
     a = ap.parse_args()
     if a.image and a.scan > 1:
         ap.error("--image is not supported with --scan")
+    if a.wire_u16 and not (a.e2e and a.fused in ("fused", "fused2")):
+        ap.error("--wire-u16 requires --e2e with --fused fused|fused2 "
+                 "(the aligned layout)")
     try:
         main(a.batch, a.points, a.iters, a.train, a.dtype, a.scan, a.sorted,
              a.e2e, a.fused, a.big, a.device_blend, a.image, a.fused_head,
-             a.fused_convs)
+             a.fused_convs, a.wire_u16)
     except Exception:
         # Insurance for the driver's unattended run: if the auto-selected
         # fused2 kernel path fails to lower/compile on the live backend,
@@ -392,4 +401,4 @@ if __name__ == "__main__":
         print("bench: fused2 default failed; retrying on the plain XLA path",
               file=sys.stderr)
         main(a.batch, a.points, a.iters, a.train, a.dtype, a.scan, a.sorted,
-             a.e2e, "none", a.big, a.device_blend, a.image, False)
+             a.e2e, "none", a.big, a.device_blend, a.image, False, False)

@@ -29,6 +29,7 @@ run bench.py --train --batch 4
 # upload, no GT crop) + banded early fetch on the 48-patch big city
 run bench.py --e2e --device-blend --big
 run bench.py --e2e --device-blend --big --fused fused2
+run bench.py --e2e --device-blend --big --fused fused2 --wire-u16
 
 # fused decoder head / conv-pair A/Bs (the remaining conv categories)
 run bench.py --fused-head

@@ -88,6 +88,7 @@ class PatchLoader:
         n_workers: int = 0,
         aligned: bool = False,
         tile_cells: Optional[int] = None,
+        wire_points: str = "float32",
     ):
         self.dataset = dataset
         self.batch_size = int(batch_size)
@@ -117,6 +118,15 @@ class PatchLoader:
 
             tile_cells = ALIGNED_TILE_CELLS
         self.tile_cells = int(tile_cells)
+        # 'uint16': quantize coords to u16 on the wire (halves the dominant
+        # upload bytes; ops/sorted_scatter.py POINT_WIRE_SCALE). The host
+        # layout is computed on the DEQUANTIZED coords so device-recomputed
+        # Morton cells stay bit-exact. Aligned (fused-kernel) layouts only.
+        if wire_points not in ("float32", "uint16"):
+            raise ValueError(f"Invalid wire_points: {wire_points}")
+        if wire_points == "uint16" and not self.aligned:
+            raise ValueError("wire_points='uint16' requires the aligned layout")
+        self.wire_points = wire_points
         # parallel patch fetch (reference train.py:80-84 uses 8 DataLoader
         # worker processes; dataset.__getitem__ is numpy + GIL-releasing C++
         # fast paths, so threads suffice here)
@@ -245,7 +255,10 @@ class PatchLoader:
             npad = aligned_bucket_size(bucket, self.sort_reso, CHUNK,
                                        self.tile_cells)
             ntiles = (self.sort_reso * self.sort_reso) // self.tile_cells
-            points = np.full((bsz, npad, 3), 0.5, dtype=np.float32)
+            if self.wire_points == "uint16":
+                points = np.full((bsz, npad, 3), 32768, dtype=np.uint16)
+            else:
+                points = np.full((bsz, npad, 3), 0.5, dtype=np.float32)
             point_mask = np.zeros((bsz, npad), dtype=bool)
             cells = np.full((bsz, npad), PAD_CELL_SENTINEL, dtype=np.int32)
             offsets = np.zeros((bsz, ntiles + 1), dtype=np.int32)
@@ -277,9 +290,21 @@ class PatchLoader:
                 )
 
                 pts_i, mask_i = pad_points(p["inputs"], bucket, rng)
+                if self.wire_points == "uint16":
+                    from tomosar2height_tpu.ops.sorted_scatter import (
+                        dequantize_points_np,
+                        quantize_points_u16,
+                    )
+
+                    # layout on the dequantized coords: device-recomputed
+                    # cells then match the host layout bit-exactly
+                    pts_i = dequantize_points_np(quantize_points_u16(pts_i))
                 a = host_morton_bucket_aligned(pts_i, mask_i, self.sort_reso,
                                                CHUNK, self.tile_cells)
-                points[i] = a["points"]
+                if self.wire_points == "uint16":
+                    points[i] = quantize_points_u16(a["points"])
+                else:
+                    points[i] = a["points"]
                 point_mask[i] = a["mask"]
                 cells[i] = a["cells"]
                 offsets[i] = a["tile_offsets"]

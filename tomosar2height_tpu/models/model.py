@@ -75,6 +75,14 @@ class TomoSAR2Height(nn.Module):
         assert self.use_cloud or self.use_image, "At least one input modality must be used."
         feature_planes: Dict[str, jnp.ndarray] = {}
 
+        if input_cloud is not None and input_cloud.dtype == jnp.uint16:
+            # u16 wire format (PatchLoader wire_points='uint16'): one f32
+            # multiply dequantizes bit-exactly with the host-side layout
+            # (ops/sorted_scatter.py POINT_WIRE_SCALE)
+            from tomosar2height_tpu.ops.sorted_scatter import dequantize_points
+
+            input_cloud = dequantize_points(input_cloud)
+
         if self.use_cloud:
             from tomosar2height_tpu.models import encoder_dict
 
