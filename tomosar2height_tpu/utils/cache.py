@@ -13,6 +13,17 @@ import os
 def enable_compile_cache(cache_dir: str | None = None) -> None:
     import jax
 
+    try:
+        if jax.config.jax_platforms == "cpu":
+            # CPU-forced runs (tests, dryruns, CPU smokes): compiles are fast
+            # and cached XLA:CPU AOT executables carry machine-feature
+            # mismatches across hosts (cpu_aot_loader warnings; observed
+            # intermittent SIGABRT mid-suite when a stale executable with an
+            # unsupported instruction path runs). The cache exists for the
+            # minutes-long remote TPU compiles — skip it on CPU.
+            return
+    except Exception:
+        pass
     if cache_dir is None:
         cache_dir = os.environ.get(
             "TOMOSAR_JAX_CACHE",
