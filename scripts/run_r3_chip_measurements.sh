@@ -13,32 +13,37 @@ run() {
   timeout 1800 python "$@" 2>&1 | grep -v "^WARNING" | tail -4 | tee -a "$OUT"
 }
 
-# serving: fused2 super-tile batch sweep (default = b8)
+# Ordered by decision value (the tunnel has multi-hour outages; front-load
+# what changes defaults / headline numbers if it drops again mid-sweep).
+
+# 1. headline: fused2 super-tile at the b8 default
 run bench.py
-run bench.py --batch 4
-run bench.py --batch 1
-run bench.py --batch 16
-# plain-path control (cross-day drift check)
-run bench.py --fused none --batch 1 --iters 60
 
-# training: fused2 full fused bwd
-run bench.py --train
-run bench.py --train --batch 4
-
-# e2e serving: device blend + wire-slim loader (native morton, no cells
-# upload, no GT crop) + banded early fetch on the 48-patch big city
-run bench.py --e2e --device-blend --big
-run bench.py --e2e --device-blend --big --fused fused2
-run bench.py --e2e --device-blend --big --fused fused2 --wire-u16
-
-# fused decoder head / conv-pair A/Bs (the remaining conv categories)
+# 2. fused decoder head / conv-pair A/Bs (the largest remaining trace
+#    category; decides whether they become defaults)
 run bench.py --fused-head
-run bench.py --fused-head --batch 4
 run bench.py --fused-convs
 run bench.py --fused-head --fused-convs
 run bench.py --fused-head --fused-convs --batch 4
+run bench.py --fused-head --batch 4
 
-# cloud+image fusion flagship (the paper's headline config)
+# 3. e2e serving: device blend + wire-slim loader (native morton, no cells
+#    upload, no GT crop) + banded early fetch on the 48-patch big city
+run bench.py --e2e --device-blend --big --fused fused2
+run bench.py --e2e --device-blend --big --fused fused2 --wire-u16
+run bench.py --e2e --device-blend --big
+
+# 4. training: fused2 full fused bwd
+run bench.py --train
+run bench.py --train --batch 4
+
+# 5. serving batch sweep + plain-path drift control
+run bench.py --batch 4
+run bench.py --batch 1
+run bench.py --batch 16
+run bench.py --fused none --batch 1 --iters 60
+
+# 6. cloud+image fusion flagship (the paper's headline config)
 run bench.py --image
 run bench.py --image --train
 echo "=== done $(date -u +%FT%TZ) ===" | tee -a "$OUT"
