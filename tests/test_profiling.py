@@ -61,3 +61,18 @@ class TestRemat:
         np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
         for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+class TestCompileCache:
+    def test_cpu_backend_never_enables_persistent_cache(self, tmp_path):
+        """Persistently-cached XLA:CPU AOT executables carry machine features
+        across hosts (cpu_aot_loader mismatch -> intermittent SIGABRT mid-
+        suite). enable_compile_cache must be a no-op on the CPU backend."""
+        import jax
+
+        from tomosar2height_tpu.utils import enable_compile_cache
+
+        before = jax.config.jax_compilation_cache_dir
+        enable_compile_cache(str(tmp_path / "jaxcache"))
+        assert jax.config.jax_compilation_cache_dir == before
+        assert not (tmp_path / "jaxcache").exists()
