@@ -115,6 +115,18 @@ class TestShardedInference:
         np.testing.assert_allclose(dev, host, atol=2e-3 + scale * 2 ** -10,
                                    rtol=0)
 
+    def test_device_blend_sharded_matches_host(self, city, tmp_path):
+        """Multi-chip device blend: 8 devices each accumulate a partial scene
+        raster for their patch shard (shard_map over 'data'); the finalize
+        program folds the partials in ONE cross-device reduction. Must match
+        the host f64 parity path within f32 accumulation tolerance."""
+        cfg, root = city
+        host = _generate(cfg, tmp_path, None, "hostblend3")
+        dev = _generate(cfg, tmp_path, make_mesh(8), "devblend8",
+                        device_blend=True)
+        assert host.shape == dev.shape
+        np.testing.assert_allclose(dev, host, atol=2e-3, rtol=1e-4)
+
     def test_batch_divisibility_asserted(self, city, tmp_path):
         cfg, root = city
         ds = TomoSARDataset("vis", cfg["dataset"])
