@@ -221,6 +221,24 @@ class TestBatcher:
         list(big)
         assert big.overflow_patches == 0 and big.overflow_points == 0
 
+    def test_regular_loader_deterministic_across_iterations(self, city):
+        """Serving/eval loaders (regular patching, no shuffle) must yield
+        bit-identical batches on re-iteration even when over-bucket patches
+        are subsampled — repeated generate_dsm calls see the same points."""
+        cfg, root, _ = city
+        ds = TomoSARDataset("vis", cfg["dataset"])
+        loader = PatchLoader(ds, batch_size=2, bucket_sizes=[64])  # overflow
+        first = [b["points"].copy() for b in loader]
+        second = [b["points"].copy() for b in loader]
+        assert loader.overflow_patches > 0, "test needs subsampled patches"
+        for a, b in zip(first, second):
+            np.testing.assert_array_equal(a, b)
+        # a fresh identically-constructed loader matches too
+        third = [b["points"].copy()
+                 for b in PatchLoader(ds, batch_size=2, bucket_sizes=[64])]
+        for a, b in zip(first, third):
+            np.testing.assert_array_equal(a, b)
+
 
 class TestPointDensityTool:
     def test_report(self, city):

@@ -210,7 +210,14 @@ class PatchLoader:
                 yield f.result()
 
     def _iter_batches(self):
-        rng = np.random.default_rng(self.seed + 1000 + self._epoch)
+        # Regular-patching (serving/eval) loaders are deterministic across
+        # re-iterations: repeated generate_dsm calls must see the SAME
+        # subsample of over-bucket patches (raster reproducibility). Random
+        # training loaders keep per-epoch resampling — a free augmentation.
+        deterministic = (not self.shuffle
+                         and not getattr(self.dataset, "random_sample", False))
+        epoch = 0 if deterministic else self._epoch
+        rng = np.random.default_rng(self.seed + 1000 + epoch)
         idx = self._indices()
         if self.drop_last:
             idx = idx[: (len(idx) // self.batch_size) * self.batch_size]
