@@ -154,109 +154,15 @@ def _flax_model(use_cloud, use_image, use_footprint):
 
 
 # --- torch state_dict -> flax param tree ------------------------------------------
+# The mapping machinery lives in the package (tomosar2height_tpu/utils/
+# torch_port.py) so scripts/port_torch_checkpoint.py can convert real
+# reference checkpoints; this harness pins it numerically.
 
-
-def _flatten(tree, prefix=()):
-    out = {}
-    for k, v in tree.items():
-        if isinstance(v, dict):
-            out.update(_flatten(v, prefix + (k,)))
-        else:
-            out[prefix + (k,)] = v
-    return out
-
-
-def _unflatten(flat):
-    tree = {}
-    for path, v in flat.items():
-        node = tree
-        for k in path[:-1]:
-            node = node.setdefault(k, {})
-        node[path[-1]] = v
-    return tree
-
-
-def _torch_module_key(path):
-    """flax param path (without trailing kernel/bias) -> torch module name."""
-    parts = []
-    for p in path:
-        if p.startswith("block") and p[5:].isdigit():
-            parts.append(f"blocks.{p[5:]}")  # pointnet ResnetBlockFC list
-        elif p.startswith("down") and p[4:].isdigit():
-            parts.append(f"down_convs.{p[4:]}")
-        elif p.startswith("up") and p[2:].isdigit():
-            parts.append(f"up_convs.{p[2:]}")
-        elif p == "res1x1" or p == "res_up":
-            parts.append("conv1x1")  # the residual 1x1/up path in ALTO blocks
-        elif p == "fc_comm":
-            parts.append("fc_comm")
-        elif p == "fc_in":
-            parts[-1] += ".0"  # nn.Sequential(Linear, ReLU, Linear)
-            continue
-        elif p == "fc_out" and parts and parts[-1].endswith("fc_comm"):
-            parts[-1] += ".2"
-            continue
-        elif p == "upconv_1x1":
-            parts.append("upconv.1")  # Sequential(Upsample, conv1x1), unet.py:31-34
-        elif p == "down1x1":
-            parts.append("downsample.2")  # Sequential(bn4, ReLU, conv1x1)
-        else:
-            parts.append(p)
-    return ".".join(parts)
-
-
-def _port_arrays(sd, flax_params):
-    """Map a torch-keyed dict of arrays (weights OR grads) onto the flax tree.
-
-    Layout conversions: Linear (out,in)->(in,out); Conv2d (O,I,kh,kw)->
-    (kh,kw,I,O); ConvTranspose2d (I,O,kh,kw)->(kh,kw,I,O) with a spatial flip
-    (flax ConvTranspose applies the kernel mirrored vs torch's transposed-conv
-    definition — verified numerically). The conversions are pure layout
-    permutations, so they apply identically to gradients.
-    """
-    flat = _flatten(flax_params["params"])
-    ported = {}
-    for path, leaf in flat.items():
-        mod_path, leaf_name = path[:-1], path[-1]
-        tkey = _torch_module_key(mod_path)
-        # upconv_1x1 (upsample mode) is a plain 1x1 Conv2d, not a transpose
-        is_transpose = mod_path[-1] in ("upconv", "res_up")
-        if leaf_name == "bias":
-            w = sd.pop(tkey + ".bias")
-        elif leaf_name == "scale":  # GroupNorm affine: flax 'scale' = torch 'weight'
-            w = sd.pop(tkey + ".weight")
-        else:
-            w = sd.pop(tkey + ".weight")
-            if w.ndim == 2:  # Linear
-                w = w.T
-            elif is_transpose:  # ConvTranspose2d
-                w = w[:, :, ::-1, ::-1].transpose(2, 3, 0, 1)
-            else:  # Conv2d
-                w = w.transpose(2, 3, 1, 0)
-        assert w.shape == leaf.shape, (
-            f"{path} <- {tkey}: {w.shape} vs {leaf.shape}")
-        ported[path] = jnp.asarray(w.copy())
-    # anything left over must be parameters the reference creates but never
-    # uses on this path (e.g. the last UpConv's upconv/fc_comm/fc_c)
-    return {"params": _unflatten(ported)}, sorted(sd)
-
-
-def port_torch_to_flax(torch_model, flax_params):
-    """Overwrite every flax leaf with its reference counterpart."""
-    sd = {k: v.detach().numpy() for k, v in torch_model.state_dict().items()}
-    return _port_arrays(sd, flax_params)
-
-
-def port_torch_grads(torch_model, flax_params):
-    """Map the reference's ``.grad`` tensors onto the flax tree layout
-    (dead-head params with grad None are zero-filled — they receive no
-    gradient on either side)."""
-    sd = {}
-    for k, p in torch_model.named_parameters():
-        sd[k] = (np.zeros(p.shape, np.float32) if p.grad is None
-                 else p.grad.detach().numpy())
-    return _port_arrays(sd, flax_params)
-
+from tomosar2height_tpu.utils.torch_port import (  # noqa: E402
+    flatten_tree as _flatten,
+    port_torch_grads,
+    port_torch_to_flax,
+)
 
 # --- the parity checks -------------------------------------------------------------
 
@@ -357,3 +263,51 @@ class TestReferenceParity:
             worst = max(worst, err / gmax)
             assert err <= 1e-4 + 1e-3 * gmax, (path, err, gmax)
         assert worst < 1e-3
+
+    def test_checkpoint_file_port(self, reference, rng, tmp_path):
+        """scripts/port_torch_checkpoint.py converts a reference ``.pt``
+        checkpoint FILE (reference io_checkpoint.py:38-48 layout) into a
+        loadable ``.ckpt``: params bit-match the live-module port, scalar
+        metadata carries over, and the result loads through CheckpointIO."""
+        import os
+
+        import torch
+
+        from tomosar2height_tpu.train import CheckpointIO
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                        "scripts"))
+        import port_torch_checkpoint as pc
+
+        torch.manual_seed(0)
+        ref = reference.TomoSAR2Height(_ref_cfg(True, False, False))
+        src = tmp_path / "model_best.pt"
+        torch.save({"model": ref.state_dict(), "optimizer": {},
+                    "n_iter": 123, "loss_val_best": 0.25,
+                    "training_time": 7.5}, str(src))
+
+        dst = tmp_path / "ported" / "model_best.ckpt"
+        pc.main(["--src", str(src), "--dst", str(dst),
+                 "dataset=synthetic", "use_cloud=true", "use_image=false",
+                 "use_footprint=false",
+                 "model.encoder_kwargs.plane_resolution=32",
+                 "model.encoder_kwargs.unet_kwargs.depth=4",
+                 "model.decoder_pixel_kwargs.output_size=64"])
+        assert dst.exists()
+
+        model = _flax_model(True, False, False)
+        pts, _ = _fixed_inputs(rng)
+        points = jnp.asarray(pts)
+        mask = jnp.ones(pts.shape[:2], bool)
+        params = model.init(jax.random.PRNGKey(0), points, mask, None)
+        io = CheckpointIO(str(dst.parent), model=params)
+        scalars = io.load(str(dst), resume_scheduler=False)
+        assert int(scalars["n_iter"]) == 123
+        assert abs(float(scalars["loss_val_best"]) - 0.25) < 1e-9
+        want, _ = port_torch_to_flax(ref, params)
+        got = io.module_dict["model"]
+        flat_w, flat_g = _flatten(want["params"]), _flatten(got["params"])
+        assert set(flat_w) == set(flat_g)
+        for path in flat_w:
+            np.testing.assert_array_equal(np.asarray(flat_g[path]),
+                                          np.asarray(flat_w[path]), err_msg=str(path))
