@@ -18,6 +18,10 @@ Scalars {n_iter, loss_val_best, training_time} carry over; torch
 optimizer/scheduler state has no optax equivalent and is dropped (resume
 re-warms momentum — same behavior as the reference's
 ``resume_scheduler=False`` path, io_checkpoint.py:90-105).
+
+``--reverse`` exports the other way: a TPU-trained ``.ckpt`` becomes a
+reference-loadable ``.pt`` (load with ``strict=False`` — dead-head params
+the reference allocates but never uses on the config's path are absent).
 """
 
 from __future__ import annotations
@@ -32,9 +36,15 @@ sys.path.insert(0, os.path.join(HERE, ".."))
 
 def main(argv=None):
     ap = argparse.ArgumentParser(
-        description="reference .pt checkpoint -> tomosar2height_tpu .ckpt")
-    ap.add_argument("--src", required=True, help="reference model_*.pt file")
-    ap.add_argument("--dst", required=True, help="output .ckpt path")
+        description="reference .pt checkpoint <-> tomosar2height_tpu .ckpt")
+    ap.add_argument("--src", required=True,
+                    help="source checkpoint (.pt, or .ckpt with --reverse)")
+    ap.add_argument("--dst", required=True,
+                    help="output path (.ckpt, or .pt with --reverse)")
+    ap.add_argument("--reverse", action="store_true",
+                    help="export a TPU-trained .ckpt as a reference-loadable "
+                         ".pt (load with strict=False: dead-head params the "
+                         "reference allocates but never uses are absent)")
     ap.add_argument("overrides", nargs="*", help="config overrides (key=value)")
     a = ap.parse_args(argv)
 
@@ -46,6 +56,8 @@ def main(argv=None):
     from tomosar2height_tpu.models import build_model
     from tomosar2height_tpu.train import CheckpointIO
     from tomosar2height_tpu.utils.torch_port import (
+        REFERENCE_SCALARS,
+        export_arrays,
         load_reference_checkpoint,
         port_arrays,
     )
@@ -71,6 +83,27 @@ def main(argv=None):
         image = np.zeros((1, out_size, out_size, 3), np.float32)
     params = jax.eval_shape(
         lambda: model.init(jax.random.PRNGKey(0), points, mask, image))
+
+    if a.reverse:
+        # .ckpt -> .pt: restore our pytree against the template, invert the
+        # layout permutations, save in the reference's torch-pickle format
+        import torch
+
+        real = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), params)
+        io = CheckpointIO(os.path.dirname(os.path.abspath(a.src)) or ".",
+                          model=real)
+        scalars = io.load(a.src, resume_scheduler=False)
+        sd = export_arrays(io.module_dict["model"])
+        blob = {"model": {k: torch.from_numpy(np.ascontiguousarray(v))
+                          for k, v in sd.items()}}
+        blob.update({k: scalars[k] for k in REFERENCE_SCALARS if k in scalars})
+        os.makedirs(os.path.dirname(os.path.abspath(a.dst)) or ".",
+                    exist_ok=True)
+        torch.save(blob, a.dst)
+        print(f"[port] wrote {a.dst}: {len(sd)} torch tensors "
+              f"(reference loads with strict=False), scalars "
+              f"{ {k: blob[k] for k in REFERENCE_SCALARS if k in blob} }")
+        return a.dst
 
     sd, scalars = load_reference_checkpoint(a.src)
     ported, leftover = port_arrays(sd, params)

@@ -311,3 +311,24 @@ class TestReferenceParity:
         for path in flat_w:
             np.testing.assert_array_equal(np.asarray(flat_g[path]),
                                           np.asarray(flat_w[path]), err_msg=str(path))
+
+        # --reverse: .ckpt -> .pt must reproduce the ORIGINAL torch tensors
+        # bit-exactly for every exported key (the permutations invert cleanly)
+        back = tmp_path / "back" / "model_best.pt"
+        pc.main(["--src", str(dst), "--dst", str(back), "--reverse",
+                 "dataset=synthetic", "use_cloud=true", "use_image=false",
+                 "use_footprint=false",
+                 "model.encoder_kwargs.plane_resolution=32",
+                 "model.encoder_kwargs.unet_kwargs.depth=4",
+                 "model.decoder_pixel_kwargs.output_size=64"])
+        rt = torch.load(str(back), map_location="cpu", weights_only=True)
+        assert int(rt["n_iter"]) == 123
+        orig = {k: v.numpy() for k, v in ref.state_dict().items()}
+        assert set(rt["model"]).issubset(orig)
+        for k, v in rt["model"].items():
+            np.testing.assert_array_equal(v.numpy(), orig[k], err_msg=k)
+        # and the reference model accepts it
+        missing, unexpected = ref.load_state_dict(rt["model"], strict=False)
+        assert not unexpected
+        assert all("upconv" in k or "fc_c" in k or "fc_comm" in k
+                   for k in missing), missing

@@ -132,6 +132,35 @@ def port_torch_grads(torch_model, flax_params) -> Tuple[dict, list]:
     return port_arrays(sd, flax_params)
 
 
+def export_arrays(flax_params) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`port_arrays`: flax param tree -> torch-keyed arrays.
+
+    Applies the inverse layout permutations (Linear (in,out)->(out,in);
+    Conv2d (kh,kw,I,O)->(O,I,kh,kw); ConvTranspose2d spatial un-flip +
+    (I,O,kh,kw)), producing a state_dict the reference's torch model loads
+    with ``strict=False`` (parameters of dead heads the reference allocates
+    but never uses on a config's path are absent — they receive no gradient
+    on either side, so their init values are irrelevant).
+    """
+    flat = flatten_tree(flax_params["params"])
+    sd: Dict[str, np.ndarray] = {}
+    for path, leaf in flat.items():
+        mod_path, leaf_name = path[:-1], path[-1]
+        tkey = torch_module_key(mod_path)
+        w = np.asarray(leaf)
+        if leaf_name in ("bias", "scale"):
+            sd[tkey + (".bias" if leaf_name == "bias" else ".weight")] = w.copy()
+            continue
+        if w.ndim == 2:  # Linear (in,out) -> (out,in)
+            w = w.T
+        elif mod_path[-1] in ("upconv", "res_up"):  # ConvTranspose2d
+            w = w.transpose(2, 3, 0, 1)[:, :, ::-1, ::-1]
+        elif w.ndim == 4:  # Conv2d (kh,kw,I,O) -> (O,I,kh,kw)
+            w = w.transpose(3, 2, 0, 1)
+        sd[tkey + ".weight"] = w.copy()
+    return sd
+
+
 # scalar metadata keys the reference checkpoints alongside the state dicts
 # (reference utils/io_checkpoint.py:38-48, train.py:170-183)
 REFERENCE_SCALARS = ("n_iter", "loss_val_best", "training_time")
