@@ -384,6 +384,32 @@ if __name__ == "__main__":
     if a.wire_u16 and not (a.e2e and a.fused in ("fused", "fused2")):
         ap.error("--wire-u16 requires --e2e with --fused fused|fused2 "
                  "(the aligned layout)")
+
+    # The axon TPU tunnel has multi-hour outages during which backend init
+    # hangs FOREVER (no error). Probe it in a bounded subprocess first so an
+    # unattended driver run emits an honest JSON error line instead of
+    # hanging past its deadline with nothing recorded.
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("TOMOSAR_BENCH_SKIP_PROBE") != "1":
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=int(os.environ.get("TOMOSAR_BENCH_PROBE_TIMEOUT",
+                                           "600")),
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+            ok = probe.returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+        if not ok:
+            print(json.dumps({
+                "metric": "tiles_per_sec_per_chip", "value": 0.0,
+                "unit": "tiles/s", "vs_baseline": 0.0,
+                "error": "device backend unavailable (backend-init probe "
+                         "failed/timed out; likely a TPU tunnel outage)"}))
+            sys.exit(0)
     try:
         main(a.batch, a.points, a.iters, a.train, a.dtype, a.scan, a.sorted,
              a.e2e, a.fused, a.big, a.device_blend, a.image, a.fused_head,
