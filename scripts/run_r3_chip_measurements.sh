@@ -5,6 +5,9 @@
 # Usage: bash scripts/run_r3_chip_measurements.sh [outfile]
 set -u
 OUT=${1:-/tmp/r3_measurements.log}
+# every run is already bounded by `timeout 1800`; skip bench.py's own
+# backend-availability probe (it would re-pay jax startup 17 times)
+export TOMOSAR_BENCH_SKIP_PROBE=1
 cd "$(dirname "$0")/.."
 echo "=== r3 chip sweep $(date -u +%FT%TZ) ===" | tee -a "$OUT"
 
