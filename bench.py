@@ -133,7 +133,7 @@ def main(batch: int | None = None, n_points: int = 16384, iters: int = 40, train
          e2e: bool = False, fused: bool | str | None = None, big: bool = False,
          device_blend: bool = False, image: bool = False,
          fused_head: bool = False, fused_convs: bool = False,
-         wire_u16: bool = False):
+         wire_u16: bool = False, wire_u8img: bool = False):
     # mode-aware defaults (r03): serving AND training = fused2 chunk-grid
     # kernels at batch 8 — per-tile kernel cost is batch-independent and
     # convs amortize, so throughput rises monotonically to b8 (serving
@@ -249,15 +249,25 @@ def main(batch: int | None = None, n_points: int = 16384, iters: int = 40, train
         from tomosar2height_tpu.parallel.mesh import make_mesh
         from tomosar2height_tpu.train.trainer import Trainer
 
+        # uint8 image wire A/B: ship raw u8 crops (4x less of the dominant
+        # --image upload: 24 MB/step at b8 f32) and normalize inside the step
+        norm = ((np.full((3,), 128.0, np.float32),
+                 np.full((3,), 64.0, np.float32))
+                if (image and wire_u8img) else None)
         trainer = Trainer(model, {"optimize_every": 1}, use_cloud=True,
-                          use_image=image, mesh=make_mesh(1), donate=True)
+                          use_image=image, mesh=make_mesh(1), donate=True,
+                          image_norm=norm)
         batch_d = {
             "points": np.asarray(points), "point_mask": np.asarray(mask),
             "patch_valid": np.ones((batch,), bool),
             "dsm": rng.uniform(0, 30, (batch, 512, 512)).astype(np.float32),
         }
         if image:
-            batch_d["image"] = np.asarray(img)
+            if wire_u8img:
+                batch_d["image"] = rng.integers(
+                    0, 256, (batch, 512, 512, 3)).astype(np.uint8)
+            else:
+                batch_d["image"] = np.asarray(img)
         if cells is not None:  # fused/fused2 training A/B
             batch_d["cell"] = np.asarray(cells)
             batch_d["cell_offsets"] = np.asarray(offsets)
@@ -378,12 +388,19 @@ if __name__ == "__main__":
     ap.add_argument("--wire-u16", action="store_true",
                     help="with --e2e: ship point coords as uint16 (halves "
                          "the dominant upload bytes; <=8 mm quantization)")
+    ap.add_argument("--wire-u8img", action="store_true",
+                    help="with --image --train: ship RGB crops as raw uint8 "
+                         "(4x less image upload; lossless for u8 sources), "
+                         "normalize on device (dataset satellite_image.wire)")
     a = ap.parse_args()
     if a.image and a.scan > 1:
         ap.error("--image is not supported with --scan")
     if a.wire_u16 and not (a.e2e and a.fused in ("fused", "fused2")):
         ap.error("--wire-u16 requires --e2e with --fused fused|fused2 "
                  "(the aligned layout)")
+    if a.wire_u8img and not (a.image and a.train):
+        ap.error("--wire-u8img requires --image --train (the wire-inclusive "
+                 "image bench)")
 
     # The axon TPU tunnel has multi-hour outages during which backend init
     # hangs FOREVER (no error). Probe it in a bounded subprocess first so an
@@ -413,7 +430,7 @@ if __name__ == "__main__":
     try:
         main(a.batch, a.points, a.iters, a.train, a.dtype, a.scan, a.sorted,
              a.e2e, a.fused, a.big, a.device_blend, a.image, a.fused_head,
-             a.fused_convs, a.wire_u16)
+             a.fused_convs, a.wire_u16, a.wire_u8img)
     except Exception:
         # Insurance for the driver's unattended run: if the auto-selected
         # fused2 kernel path fails to lower/compile on the live backend,

@@ -59,7 +59,9 @@ def build_city(seed: int = 0, density: float = 0.6, n_buildings: int = 90,
     rgb[0] = 90 + 2.2 * ndsm + rng.normal(0, 12, (H, W))
     rgb[1] = 110 + 1.5 * ndsm + rng.normal(0, 12, (H, W))
     rgb[2] = 120 - 0.8 * ndsm + rng.normal(0, 12, (H, W))
-    rgb = np.clip(rgb, 0, 255)
+    # integral u8-range values: real satellite sources are u8, and the uint8
+    # image wire (dataset satellite_image.wire) is lossless only then
+    rgb = np.round(np.clip(rgb, 0, 255))
     return ndsm, footprint, btype, pts, rgb
 
 

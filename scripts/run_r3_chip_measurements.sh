@@ -49,4 +49,5 @@ run bench.py --fused none --batch 1 --iters 60
 # 6. cloud+image fusion flagship (the paper's headline config)
 run bench.py --image
 run bench.py --image --train
+run bench.py --image --train --wire-u8img
 echo "=== done $(date -u +%FT%TZ) ===" | tee -a "$OUT"

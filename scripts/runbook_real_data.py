@@ -80,6 +80,11 @@ def run(dataset: str, overrides: list, dry_run: bool, work: str | None,
             "model.encoder_kwargs.feature_dim=8",
             "model.encoder_kwargs.unet_kwargs.depth=3",
             "model.encoder_kwargs.unet_kwargs.start_filts=8",
+            # image U-Net shrunk to match the 8-ch point plane (the decoder
+            # SUMS the planes) — only used when use_image=true is passed
+            "model.encoder2_kwargs.num_classes=8",
+            "model.encoder2_kwargs.depth=3",
+            "model.encoder2_kwargs.start_filts=8",
             "model.decoder_pixel_kwargs.hidden_dim=8",
             "model.decoder_pixel_kwargs.output_size=128",
             "training.batch_size=2", "training.optimize_every=2",

@@ -221,6 +221,26 @@ class TestBatcher:
         list(big)
         assert big.overflow_patches == 0 and big.overflow_points == 0
 
+    def test_uint8_image_wire_matches_f32_normalization(self, city):
+        """satellite_image.wire=uint8 ships RAW u8 crops (4x less upload /
+        RAM); normalizing them with the dataset's (mean, std) must reproduce
+        the f32 wire's host-normalized crops exactly (integral u8 source)."""
+        import copy
+
+        cfg, root, _ = city
+        ds_f = TomoSARDataset("vis", cfg["dataset"])
+        d8 = copy.deepcopy(dict(cfg["dataset"]))
+        d8["satellite_image"]["wire"] = "uint8"
+        ds_8 = TomoSARDataset("vis", d8)
+        assert ds_8.image_norm is not None and ds_f.image_norm is None
+        mean, std = ds_8.image_norm
+        for i in (0, len(ds_f) // 2):
+            pf, p8 = ds_f[i], ds_8[i]
+            assert p8["image"].dtype == np.uint8
+            assert pf["image"].dtype == np.float32
+            norm = (p8["image"].astype(np.float32) - mean) / std
+            np.testing.assert_allclose(norm, pf["image"], atol=1e-5, rtol=0)
+
     def test_regular_loader_deterministic_across_iterations(self, city):
         """Serving/eval loaders (regular patching, no shuffle) must yield
         bit-identical batches on re-iteration even when over-bucket patches

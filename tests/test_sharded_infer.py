@@ -127,6 +127,57 @@ class TestShardedInference:
         assert host.shape == dev.shape
         np.testing.assert_allclose(dev, host, atol=2e-3, rtol=1e-4)
 
+    def test_uint8_image_wire_matches_f32(self, city, tmp_path):
+        """satellite_image.wire=uint8 through DSMGenerator: raw u8 crops ship
+        over the wire, (x-mean)/std runs inside the jitted forward, and the
+        stitched raster matches the f32-wire raster (integral u8 source)."""
+        import copy
+
+        import jax.numpy as jnp
+
+        from tomosar2height_tpu.models import TomoSAR2Height
+
+        cfg, root = city
+        model = TomoSAR2Height(
+            use_cloud=True, use_image=True,
+            encoder_kwargs={
+                "feature_dim": 8, "hidden_dim": 8, "plane_resolution": 32,
+                "unet_type": "alto",
+                "unet_kwargs": {"depth": 3, "start_filts": 8,
+                                "merge_mode": "concat"},
+            },
+            encoder2_kwargs={"num_classes": 8, "in_channels": 3, "depth": 2,
+                             "start_filts": 8},
+            decoder_kwargs={"hidden_dim": 8, "output_size": 128},
+            z_scale=60.0,
+        )
+
+        def generate(dcfg, tag, params=None):
+            ds = TomoSARDataset("vis", dcfg)
+            loader = PatchLoader(ds, batch_size=8, bucket_sizes=[2048],
+                                 fixed_bucket=2048)
+            sample = loader.collate([ds[0]])
+            if params is None:
+                img = sample["image"]
+                if img.dtype == np.uint8:  # init wants the model-dtype input
+                    mean, std = ds.image_norm
+                    img = (img.astype(np.float32) - mean) / std
+                params = model.init(jax.random.PRNGKey(0), sample["points"],
+                                    sample["point_mask"], img)
+            gen = DSMGenerator(model, lambda: params, loader,
+                               dsm_pixel_size=[1.0, 1.0],
+                               half_blend_percent=[0.5, 0.5],
+                               use_cloud=True, use_image=True, mesh=None)
+            out = str(tmp_path / f"dsm_{tag}.tiff")
+            return gen.generate_dsm(out).get_data(), params
+
+        f32_raster, params = generate(cfg["dataset"], "imgf32")
+        d8 = copy.deepcopy(dict(cfg["dataset"]))
+        d8["satellite_image"]["wire"] = "uint8"
+        u8_raster, _ = generate(d8, "imgu8", params)
+        assert f32_raster.shape == u8_raster.shape
+        np.testing.assert_allclose(u8_raster, f32_raster, atol=1e-4, rtol=0)
+
     def test_batch_divisibility_asserted(self, city, tmp_path):
         cfg, root = city
         ds = TomoSARDataset("vis", cfg["dataset"])

@@ -130,3 +130,40 @@ class TestMaskedPatchMean:
         assert float(masked_patch_mean(per_pixel, jnp.asarray([True, True]))) == pytest.approx(51.0)
         # no valid patches -> 0, not NaN
         assert float(masked_patch_mean(per_pixel, jnp.asarray([False, False]))) == 0.0
+
+
+class TestImageWire:
+    def test_uint8_wire_step_matches_f32(self, rng):
+        """u8 image crops + device-side (x-mean)/std (image_norm) must give
+        the same loss and parameter update as host-normalized f32 crops."""
+        model = TomoSAR2Height(
+            use_cloud=True, use_image=True,
+            encoder_kwargs={
+                "feature_dim": 4, "hidden_dim": 4, "plane_resolution": 16,
+                "unet_type": "unet", "unet_kwargs": {"depth": 2, "start_filts": 4},
+            },
+            encoder2_kwargs={"num_classes": 4, "in_channels": 3, "depth": 2,
+                             "start_filts": 4},
+            decoder_kwargs={"hidden_dim": 4, "output_size": 32},
+            z_scale=60.0,
+        )
+        mean = np.full((3,), 128.0, np.float32)
+        std = np.full((3,), 64.0, np.float32)
+        img8 = rng.integers(0, 256, (2, 32, 32, 3)).astype(np.uint8)
+        imgf = ((img8.astype(np.float64) - mean) / std).astype(np.float32)
+        base = _batch(rng)
+        tr8 = Trainer(model, {"optimize_every": 1}, use_cloud=True,
+                      use_image=True, mesh=make_mesh(1), donate=False,
+                      image_norm=(mean, std))
+        trf = Trainer(model, {"optimize_every": 1}, use_cloud=True,
+                      use_image=True, mesh=make_mesh(1), donate=False)
+        b8 = dict(base, image=img8)
+        bf = dict(base, image=imgf)
+        s8 = tr8.init_state(jax.random.PRNGKey(0), b8)
+        sf = trf.init_state(jax.random.PRNGKey(0), bf)
+        s8 = tr8.train_step(s8, b8, 1e-3)
+        sf = trf.train_step(sf, bf, 1e-3)
+        assert abs(tr8.last_avg_loss - trf.last_avg_loss) < 1e-5
+        for a, b in zip(jax.tree.leaves(s8.params), jax.tree.leaves(sf.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5, rtol=1e-5)

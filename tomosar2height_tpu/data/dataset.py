@@ -71,6 +71,8 @@ class TomoSARDataset:
         self.images: List[RasterReader] = []
         images_dic = cfg_dataset.get("satellite_image") if self.load_image else None
         self.norm_image_data: Optional[np.ndarray] = None
+        self.image_norm = None  # (mean, std) f32 when crops ship un-normalized
+        self.wire_image = "float32"
         if images_dic is not None:
             folder = images_dic["folder"]
             for image_name in images_dic["pairs"]:
@@ -88,8 +90,32 @@ class TomoSARDataset:
             if mean.shape[0] != stack.shape[0]:  # stereo: repeat stats per image
                 mean = np.tile(mean, len(self.images))
                 std = np.tile(std, len(self.images))
-            stack = (stack - mean[:, None, None]) / std[:, None, None]
-            self.norm_image_data = stack.astype(np.float32)
+            # wire: 'float32' (default) pre-normalizes on host, crops ship as
+            # f32 (the reference's numerics, dataset.py:86-113). 'uint8' keeps
+            # the RAW u8 pixels (source satellite imagery is u8) and ships
+            # THOSE — 4x less upload per patch through the relay wire (a
+            # 512^2x3 crop: 3 MB -> 768 KB) and 4x less RAM; the (x-mean)/std
+            # normalization runs on device inside the jitted forward
+            # (Trainer/DSMGenerator read `image_norm`). Lossless for integral
+            # u8-range sources (asserted), so serving/training numerics match
+            # the f32 wire to f32 rounding.
+            self.wire_image = str(images_dic.get("wire", "float32"))
+            if self.wire_image == "uint8":
+                if not (stack.min() >= 0 and stack.max() <= 255
+                        and np.allclose(stack, np.round(stack), atol=1e-3)):
+                    raise ValueError(
+                        "satellite_image.wire=uint8 needs integral u8-range "
+                        "source imagery; this source is not (use float32)")
+                self.norm_image_data = np.round(stack).astype(np.uint8)
+                self.image_norm = (mean.astype(np.float32),
+                                   std.astype(np.float32))
+            elif self.wire_image == "float32":
+                stack = (stack - mean[:, None, None]) / std[:, None, None]
+                self.norm_image_data = stack.astype(np.float32)
+                self.image_norm = None
+            else:
+                raise ValueError(f"Invalid satellite_image.wire: "
+                                 f"{self.wire_image}")
 
         self.n_images = len(self.images)
         if self.n_images > 0:
@@ -259,7 +285,8 @@ class TomoSARDataset:
             img = _augment_raster(img, rot_times, flip_dim)
             assert img.shape == (self.norm_image_data.shape[0], h, w), f"chunk_idx:{chunk_idx}"
             out["image"] = np.ascontiguousarray(
-                np.moveaxis(img[:, ::-1, :], 0, -1), dtype=np.float32
+                np.moveaxis(img[:, ::-1, :], 0, -1),
+                dtype=self.norm_image_data.dtype,  # f32, or u8 on the u8 wire
             )
 
         # GT nDSM patch (reference dataset.py:313-328)

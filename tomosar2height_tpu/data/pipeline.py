@@ -331,8 +331,9 @@ class PatchLoader:
                     dsm = np.zeros((bsz,) + p["dsm"].shape, dtype=np.float32)
                 dsm[i] = p["dsm"]
             if "image" in p:
-                if image is None:
-                    image = np.zeros((bsz,) + p["image"].shape, dtype=np.float32)
+                if image is None:  # u8 on the uint8 wire, f32 otherwise
+                    image = np.zeros((bsz,) + p["image"].shape,
+                                     dtype=p["image"].dtype)
                 image[i] = p["image"]
 
         if self.aligned:

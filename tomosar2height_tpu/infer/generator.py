@@ -98,6 +98,9 @@ class DSMGenerator:
         dataset = data_loader.dataset
         assert not dataset.random_sample, "Only regular patching is accepted."
         self.patch_size = np.asarray(dataset.patch_size, dtype=np.float64)
+        # uint8 image wire (dataset satellite_image.wire): crops arrive as raw
+        # u8 pixels (4x less upload) and normalize on device inside the jit
+        self._image_norm = getattr(dataset, "image_norm", None)
 
         self._calculate_bounds(dataset.chunk_info_ls)
         self.dsm_shape = RasterData.cal_dsm_shape(
@@ -228,6 +231,11 @@ class DSMGenerator:
             self.t_bound = max(self.t_bound, t)
 
     def _forward_impl(self, params, points, mask, image, cells, offsets):
+        if image is not None and self._image_norm is not None:
+            import jax.numpy as jnp
+
+            mean, std = self._image_norm
+            image = (image.astype(jnp.float32) - mean) / std
         pa, _ = self.model.apply(params, points, mask, image, cells, offsets)
         # un-flip rows: model works y-up, raster is north-up (generator.py:147)
         return pa[..., 0][:, ::-1, :]

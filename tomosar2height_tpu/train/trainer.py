@@ -88,11 +88,16 @@ class Trainer:
         weight_ce: float = 10.0,
         mesh=None,
         donate: bool = True,
+        image_norm=None,
     ):
         self.model = model
         self.use_cloud = use_cloud
         self.use_image = use_image
         self.use_footprint = use_footprint
+        # uint8 image wire (dataset satellite_image.wire): crops upload as raw
+        # u8 pixels (4x less of the dominant --image wire bytes) and the
+        # (x-mean)/std normalization runs here, inside the jitted step
+        self.image_norm = image_norm
         self.weight_ce = float(weight_ce)
         self.optimize_every = int(cfg_training["optimize_every"])
         # 'mean': MultiSteps averages grads over the window (standard);
@@ -155,6 +160,9 @@ class Trainer:
         points = batch["points"] if self.use_cloud else None
         mask = batch["point_mask"] if self.use_cloud else None
         image = batch.get("image") if self.use_image else None
+        if image is not None and self.image_norm is not None:
+            mean, std = self.image_norm
+            image = (image.astype(jnp.float32) - mean) / std
         cells = batch.get("cell") if self.use_cloud else None
         offsets = batch.get("cell_offsets") if self.use_cloud else None
         return points, mask, image, cells, offsets

@@ -129,6 +129,7 @@ def main(overrides=None):
         use_cloud=cfg["use_cloud"], use_image=cfg["use_image"],
         use_footprint=cfg["use_footprint"], weight_ce=cfg_training["weight_ce"],
         mesh=mesh, donate=cfg.select("device.donate", True),
+        image_norm=getattr(datasets["train"], "image_norm", None),
     )
     scheduler = build_scheduler(cfg_training)
 
