@@ -19,7 +19,8 @@ def e2e_bench(batch: int = 4, dtype: str = "float32", iters: int = 3,
               sorted_path: bool = False, big: bool = False,
               fused: bool | str = False, device_blend: bool = False,
               image: bool = False, fused_head: bool = False,
-              fused_convs: bool = False, wire_u16: bool = False) -> dict:
+              fused_convs: bool = False, wire_u16: bool = False,
+              wire_u8img: bool = False) -> dict:
     """End-to-end serving benchmark: loader -> device forwards -> f64 host
     blend -> GeoTIFF write over the synthetic city (VERDICT r01 item 5;
     reference hot path generator.py:130-159). Returns the MEDIAN iteration's
@@ -69,7 +70,8 @@ def e2e_bench(batch: int = 4, dtype: str = "float32", iters: int = 3,
         f"dataset.mask_files.building={root}/raster/footprint.tif",
         f"dataset.mask_files.type={root}/raster/building_class.tif",
         f"dataset.satellite_image.folder={root}/raster",
-        "use_cloud=true", "use_image=false", "use_footprint=false",
+        "use_cloud=true", f"use_image={'true' if image else 'false'}",
+        "use_footprint=false",
         # flagship shapes: 16k bucket, full z range
         "dataset.points.train_bucket=16384",
         "dataset.points.bucket_sizes=[16384]",
@@ -77,6 +79,9 @@ def e2e_bench(batch: int = 4, dtype: str = "float32", iters: int = 3,
         f"training.val_batch_size={batch}",
         f"model.dtype={dtype}",
     ]
+    if wire_u8img:
+        # ship raw u8 image crops, normalize on device (4x less upload)
+        overrides.append("dataset.satellite_image.wire=uint8")
     if fused_head:
         overrides.append("model.decoder_pixel_kwargs.fused_head=true")
     if fused_convs:
@@ -92,7 +97,7 @@ def e2e_bench(batch: int = 4, dtype: str = "float32", iters: int = 3,
     cfg = compose(default_conf_dir(), overrides=overrides)
 
     dataset = TomoSARDataset("vis", cfg["dataset"], random_sample=False,
-                             load_target=False, load_image=False)
+                             load_target=False, load_image=image)
     sort_reso = 256 if (sorted_path or fused) else None
     loader = PatchLoader(dataset, batch, [16384], fixed_bucket=16384,
                          sort_reso=sort_reso, aligned=bool(fused),
@@ -104,14 +109,18 @@ def e2e_bench(batch: int = 4, dtype: str = "float32", iters: int = 3,
         ek["sorted_impl"] = fused if isinstance(fused, str) else "fused"
         model = model.clone(encoder_kwargs=ek)
     sample = loader.collate([dataset[0]])
+    img0 = sample.get("image") if image else None
+    if img0 is not None and img0.dtype == np.uint8:  # init wants model dtype
+        mean, std = dataset.image_norm
+        img0 = (img0.astype(np.float32) - mean) / std
     params = jax.jit(model.init)(
-        jax.random.PRNGKey(0), sample["points"], sample["point_mask"], None,
+        jax.random.PRNGKey(0), sample["points"], sample["point_mask"], img0,
         sample.get("cell"), sample.get("cell_offsets"))
     gen = DSMGenerator(model, lambda: params, loader,
                        dsm_pixel_size=cfg["dsm_generation"]["pixel_size"],
                        half_blend_percent=cfg["dsm_generation"].get("half_blend_percent"),
                        crs_epsg=cfg["dsm_generation"].get("crs_epsg"),
-                       use_cloud=True, use_image=False, mesh=None,
+                       use_cloud=True, use_image=image, mesh=None,
                        device_blend=device_blend,
                        # serving wire format: f16 halves the dominant
                        # stitched-raster download (<= ~5 cm quantization)
@@ -152,7 +161,7 @@ def main(batch: int | None = None, n_points: int = 16384, iters: int = 40, train
         stats = e2e_bench(batch, dtype, sorted_path=sorted_path, big=big,
                           fused=fused, device_blend=device_blend, image=image,
                           fused_head=fused_head, fused_convs=fused_convs,
-                          wire_u16=wire_u16)
+                          wire_u16=wire_u16, wire_u8img=wire_u8img)
         print(json.dumps({
             "metric": "ndsm_tiles_per_sec_e2e",
             "value": round(stats["patches_per_s"], 3),  # MEDIAN of iters
@@ -389,18 +398,19 @@ if __name__ == "__main__":
                     help="with --e2e: ship point coords as uint16 (halves "
                          "the dominant upload bytes; <=8 mm quantization)")
     ap.add_argument("--wire-u8img", action="store_true",
-                    help="with --image --train: ship RGB crops as raw uint8 "
-                         "(4x less image upload; lossless for u8 sources), "
-                         "normalize on device (dataset satellite_image.wire)")
+                    help="with --image (--train or --e2e): ship RGB crops as "
+                         "raw uint8 (4x less image upload; lossless for u8 "
+                         "sources), normalize on device "
+                         "(dataset satellite_image.wire)")
     a = ap.parse_args()
     if a.image and a.scan > 1:
         ap.error("--image is not supported with --scan")
     if a.wire_u16 and not (a.e2e and a.fused in ("fused", "fused2")):
         ap.error("--wire-u16 requires --e2e with --fused fused|fused2 "
                  "(the aligned layout)")
-    if a.wire_u8img and not (a.image and a.train):
-        ap.error("--wire-u8img requires --image --train (the wire-inclusive "
-                 "image bench)")
+    if a.wire_u8img and not (a.image and (a.train or a.e2e)):
+        ap.error("--wire-u8img requires --image with --train or --e2e "
+                 "(the wire-inclusive image benches)")
 
     # The axon TPU tunnel has multi-hour outages during which backend init
     # hangs FOREVER (no error). Probe it in a bounded subprocess first so an

@@ -50,4 +50,6 @@ run bench.py --fused none --batch 1 --iters 60
 run bench.py --image
 run bench.py --image --train
 run bench.py --image --train --wire-u8img
+run bench.py --e2e --image --device-blend --fused fused2
+run bench.py --e2e --image --device-blend --fused fused2 --wire-u8img --wire-u16
 echo "=== done $(date -u +%FT%TZ) ===" | tee -a "$OUT"
