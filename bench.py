@@ -20,7 +20,7 @@ def e2e_bench(batch: int = 4, dtype: str = "float32", iters: int = 3,
               fused: bool | str = False, device_blend: bool = False,
               image: bool = False, fused_head: bool = False,
               fused_convs: bool = False, wire_u16: bool = False,
-              wire_u8img: bool = False) -> dict:
+              wire_u8img: bool = False, device_img: bool = False) -> dict:
     """End-to-end serving benchmark: loader -> device forwards -> f64 host
     blend -> GeoTIFF write over the synthetic city (VERDICT r01 item 5;
     reference hot path generator.py:130-159). Returns the MEDIAN iteration's
@@ -82,6 +82,10 @@ def e2e_bench(batch: int = 4, dtype: str = "float32", iters: int = 3,
     if wire_u8img:
         # ship raw u8 image crops, normalize on device (4x less upload)
         overrides.append("dataset.satellite_image.wire=uint8")
+    if device_img:
+        # resident scene image: upload once, crop per tile ON DEVICE — each
+        # tile ships a (row0, col0) origin instead of a 0.8-3 MB crop
+        overrides.append("dataset.satellite_image.crop=device")
     if fused_head:
         overrides.append("model.decoder_pixel_kwargs.fused_head=true")
     if fused_convs:
@@ -113,6 +117,10 @@ def e2e_bench(batch: int = 4, dtype: str = "float32", iters: int = 3,
     if img0 is not None and img0.dtype == np.uint8:  # init wants model dtype
         mean, std = dataset.image_norm
         img0 = (img0.astype(np.float32) - mean) / std
+    if image and device_img:  # no crop on the wire: init from shapes alone
+        h, w = (int(v) for v in dataset._image_patch_shape)
+        img0 = np.zeros((1, h, w, dataset.norm_image_data.shape[0]),
+                        np.float32)
     params = jax.jit(model.init)(
         jax.random.PRNGKey(0), sample["points"], sample["point_mask"], img0,
         sample.get("cell"), sample.get("cell_offsets"))
@@ -142,7 +150,8 @@ def main(batch: int | None = None, n_points: int = 16384, iters: int = 40, train
          e2e: bool = False, fused: bool | str | None = None, big: bool = False,
          device_blend: bool = False, image: bool = False,
          fused_head: bool = False, fused_convs: bool = False,
-         wire_u16: bool = False, wire_u8img: bool = False):
+         wire_u16: bool = False, wire_u8img: bool = False,
+         device_img: bool = False):
     # mode-aware defaults (r03): serving AND training = fused2 chunk-grid
     # kernels at batch 8 — per-tile kernel cost is batch-independent and
     # convs amortize, so throughput rises monotonically to b8 (serving
@@ -161,7 +170,8 @@ def main(batch: int | None = None, n_points: int = 16384, iters: int = 40, train
         stats = e2e_bench(batch, dtype, sorted_path=sorted_path, big=big,
                           fused=fused, device_blend=device_blend, image=image,
                           fused_head=fused_head, fused_convs=fused_convs,
-                          wire_u16=wire_u16, wire_u8img=wire_u8img)
+                          wire_u16=wire_u16, wire_u8img=wire_u8img,
+                          device_img=device_img)
         print(json.dumps({
             "metric": "ndsm_tiles_per_sec_e2e",
             "value": round(stats["patches_per_s"], 3),  # MEDIAN of iters
@@ -402,6 +412,11 @@ if __name__ == "__main__":
                          "raw uint8 (4x less image upload; lossless for u8 "
                          "sources), normalize on device "
                          "(dataset satellite_image.wire)")
+    ap.add_argument("--device-img", action="store_true",
+                    help="with --image --e2e: resident scene image — upload "
+                         "the whole scene to HBM once and crop per tile on "
+                         "device; tiles ship a (row, col) origin instead of "
+                         "a 0.8-3 MB crop (dataset satellite_image.crop)")
     a = ap.parse_args()
     if a.image and a.scan > 1:
         ap.error("--image is not supported with --scan")
@@ -411,6 +426,9 @@ if __name__ == "__main__":
     if a.wire_u8img and not (a.image and (a.train or a.e2e)):
         ap.error("--wire-u8img requires --image with --train or --e2e "
                  "(the wire-inclusive image benches)")
+    if a.device_img and not (a.image and a.e2e):
+        ap.error("--device-img requires --image --e2e (serving only; "
+                 "training keeps host crops for augmentation)")
 
     # The axon TPU tunnel has multi-hour outages during which backend init
     # hangs FOREVER (no error). Probe it in a bounded subprocess first so an
@@ -440,7 +458,7 @@ if __name__ == "__main__":
     try:
         main(a.batch, a.points, a.iters, a.train, a.dtype, a.scan, a.sorted,
              a.e2e, a.fused, a.big, a.device_blend, a.image, a.fused_head,
-             a.fused_convs, a.wire_u16, a.wire_u8img)
+             a.fused_convs, a.wire_u16, a.wire_u8img, a.device_img)
     except Exception:
         # Insurance for the driver's unattended run: if the auto-selected
         # fused2 kernel path fails to lower/compile on the live backend,

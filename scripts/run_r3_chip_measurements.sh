@@ -52,4 +52,7 @@ run bench.py --image --train
 run bench.py --image --train --wire-u8img
 run bench.py --e2e --image --device-blend --fused fused2
 run bench.py --e2e --image --device-blend --fused fused2 --wire-u8img --wire-u16
+# device-resident scene image: upload once, crop per tile on device (the
+# per-tile image crop was the dominant cloud+image upload)
+run bench.py --e2e --image --device-blend --fused fused2 --device-img --wire-u16
 echo "=== done $(date -u +%FT%TZ) ===" | tee -a "$OUT"

@@ -69,11 +69,18 @@ def main(overrides=None):
 
     model = build_model(cfg)
     sample = loader.collate([test_dataset[0]])
+    init_image = sample.get("image") if cfg["use_image"] else None
+    if cfg["use_image"] and init_image is None:
+        # device-crop image wire (satellite_image.crop='device'): samples
+        # carry origins, not crops — init from the static patch shape
+        h, w = (int(v) for v in test_dataset._image_patch_shape)
+        c = test_dataset.norm_image_data.shape[0]
+        init_image = np.zeros((sample["points"].shape[0], h, w, c), np.float32)
     params = model.init(
         jax.random.PRNGKey(0),
         sample["points"] if cfg["use_cloud"] else None,
         sample["point_mask"] if cfg["use_cloud"] else None,
-        sample.get("image") if cfg["use_image"] else None,
+        init_image,
     )
 
     checkpoint_io = CheckpointIO(out_dir_run, model=params)

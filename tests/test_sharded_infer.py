@@ -178,6 +178,86 @@ class TestShardedInference:
         assert f32_raster.shape == u8_raster.shape
         np.testing.assert_allclose(u8_raster, f32_raster, atol=1e-4, rtol=0)
 
+    def test_device_crop_image_matches_host(self, city, tmp_path):
+        """satellite_image.crop='device': the scene image uploads once and
+        each tile's crop is a dynamic_slice inside the jitted forward — the
+        stitched raster must equal the host-crop raster EXACTLY (the slice +
+        row flip reads the same bytes the host crop ships). Covers f32 wire,
+        uint8 wire (device normalize), and the sharded device-blend path."""
+        import copy
+
+        from tomosar2height_tpu.models import TomoSAR2Height
+
+        cfg, root = city
+        model = TomoSAR2Height(
+            use_cloud=True, use_image=True,
+            encoder_kwargs={
+                "feature_dim": 8, "hidden_dim": 8, "plane_resolution": 32,
+                "unet_type": "alto",
+                "unet_kwargs": {"depth": 3, "start_filts": 8,
+                                "merge_mode": "concat"},
+            },
+            encoder2_kwargs={"num_classes": 8, "in_channels": 3, "depth": 2,
+                             "start_filts": 8},
+            decoder_kwargs={"hidden_dim": 8, "output_size": 128},
+            z_scale=60.0,
+        )
+        params = None
+
+        def generate(dcfg, tag, mesh=None, device_blend=False):
+            nonlocal params
+            ds = TomoSARDataset("vis", dcfg, load_target=False)
+            loader = PatchLoader(ds, batch_size=8, bucket_sizes=[2048],
+                                 fixed_bucket=2048)
+            sample = loader.collate([ds[0]])
+            if params is None:
+                assert "image" in sample  # host-crop reference goes first
+                params = model.init(jax.random.PRNGKey(0), sample["points"],
+                                    sample["point_mask"], sample["image"])
+            gen = DSMGenerator(model, lambda: params, loader,
+                               dsm_pixel_size=[1.0, 1.0],
+                               half_blend_percent=[0.5, 0.5],
+                               use_cloud=True, use_image=True, mesh=mesh,
+                               device_blend=device_blend)
+            if "crop" in dcfg["satellite_image"] and \
+                    dcfg["satellite_image"]["crop"] == "device":
+                assert gen._device_image
+                assert "image" not in sample and "image_origin" in sample
+            out = str(tmp_path / f"dsm_{tag}.tiff")
+            return gen.generate_dsm(out).get_data()
+
+        host_raster = generate(cfg["dataset"], "crop_host")
+        ddev = copy.deepcopy(dict(cfg["dataset"]))
+        ddev["satellite_image"]["crop"] = "device"
+        np.testing.assert_array_equal(generate(ddev, "crop_dev"), host_raster)
+        # uint8 wire + device crop: u8 scene resident, normalize on device
+        d8 = copy.deepcopy(ddev)
+        d8["satellite_image"]["wire"] = "uint8"
+        np.testing.assert_allclose(generate(d8, "crop_dev_u8"), host_raster,
+                                   atol=1e-4, rtol=0)
+        # 8-chip device blend: scene replicates, origins shard over 'data'
+        sharded = generate(ddev, "crop_dev_shard", mesh=make_mesh(8),
+                           device_blend=True)
+        np.testing.assert_allclose(sharded, host_raster, atol=2e-3, rtol=1e-4)
+
+    def test_device_crop_gating(self, city):
+        """crop='device' must NOT activate for trainer-feeding datasets:
+        augmented/random splits and load_target=True keep host crops so the
+        trainer's batch contract is unchanged."""
+        import copy
+
+        cfg, root = city
+        ddev = copy.deepcopy(dict(cfg["dataset"]))
+        ddev["satellite_image"]["crop"] = "device"
+        train_ds = TomoSARDataset("train", ddev, random_sample=True,
+                                  random_length=4, flip_augm=True,
+                                  rotate_augm=True)
+        assert not train_ds.image_crop_device
+        assert "image" in train_ds[0] and "image_origin" not in train_ds[0]
+        val_ds = TomoSARDataset("val", ddev)  # load_target=True
+        assert not val_ds.image_crop_device
+        assert "image" in val_ds[0]
+
     def test_batch_divisibility_asserted(self, city, tmp_path):
         cfg, root = city
         ds = TomoSARDataset("vis", cfg["dataset"])

@@ -117,6 +117,25 @@ class TomoSARDataset:
                 raise ValueError(f"Invalid satellite_image.wire: "
                                  f"{self.wire_image}")
 
+        # crop: 'host' (default) ships a per-patch crop over the wire.
+        # 'device' ships only the (row0, col0) SCENE-PIXEL ORIGIN of each
+        # crop — the DSMGenerator uploads the whole scene image to HBM once
+        # and slices per tile inside the jitted forward (the image is static
+        # across tiles; per-tile crops were the dominant serving upload:
+        # 0.8-3 MB/tile through a ~20 MB/s relay). Applies only to
+        # generator-feeding loaders (regular patching, no augmentation,
+        # load_target=False); train/val loaders keep host crops so the
+        # trainer's batch contract is unchanged.
+        crop_mode = (str(images_dic.get("crop", "host"))
+                     if images_dic is not None else "host")
+        if crop_mode not in ("host", "device"):
+            raise ValueError(f"Invalid satellite_image.crop: {crop_mode}")
+        self.image_crop_device = (
+            crop_mode == "device" and len(self.images) > 0
+            and not random_sample and not flip_augm and not rotate_augm
+            and not self.load_target)
+        self._scene_image_hwc: Optional[np.ndarray] = None
+
         self.n_images = len(self.images)
         if self.n_images > 0:
             self._image_pixel_size = np.asarray(self.images[0].pixel_size, dtype=np.float64)
@@ -196,6 +215,18 @@ class TomoSARDataset:
 
     def __len__(self) -> int:
         return self.random_length if self.random_sample else len(self.anchor_points)
+
+    def scene_image_hwc(self) -> np.ndarray:
+        """Whole-scene satellite image as one HWC array (u8 or f32 per the
+        wire), for the device-crop serving path: the generator uploads it to
+        HBM once and per-tile crops become ``dynamic_slice``s on device.
+        ``scene[r0:r0+h, c0:c0+w][::-1]`` equals the host crop's HWC output
+        for an un-augmented patch. Lazily built and cached."""
+        assert self.image_crop_device, "scene_image_hwc needs crop='device'"
+        if self._scene_image_hwc is None:
+            self._scene_image_hwc = np.ascontiguousarray(
+                np.moveaxis(self.norm_image_data, 0, -1))
+        return self._scene_image_hwc
 
     def _normalize_points(self, inputs, min_bound, max_bound, normalize_mat):
         """World points -> float32 points strictly inside the unit square
@@ -281,6 +312,15 @@ class TomoSARDataset:
             center = min_bound + self._image_pixel_size / 2.0
             col, row = self.images[0].query_col_row(center[0], center[1])
             h, w = self._image_patch_shape
+            if self.image_crop_device:
+                # device-crop wire: scene-pixel origin of the (un-flipped)
+                # crop window; the generator slices + y-up-flips on device
+                r0, c0 = int(row - h + 1), int(col)
+                sh, sw = self.norm_image_data.shape[1:]
+                assert 0 <= r0 and r0 + h <= sh and 0 <= c0 and c0 + w <= sw, \
+                    f"chunk_idx:{chunk_idx}"
+                out["image_origin"] = np.array([r0, c0], dtype=np.int32)
+                return out  # image_crop_device implies load_target=False
             img = self.norm_image_data[:, row - h + 1: row + 1, col: col + w]
             img = _augment_raster(img, rot_times, flip_dim)
             assert img.shape == (self.norm_image_data.shape[0], h, w), f"chunk_idx:{chunk_idx}"

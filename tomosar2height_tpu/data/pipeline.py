@@ -279,6 +279,7 @@ class PatchLoader:
         patch_valid = np.zeros((bsz,), dtype=bool)
         dsm = None
         image = None
+        image_origin = None  # device-crop wire: (B, 2) scene-pixel origins
         min_bound = np.zeros((bsz, 2), dtype=np.float64)
         max_bound = np.zeros((bsz, 2), dtype=np.float64)
         names = []
@@ -335,6 +336,10 @@ class PatchLoader:
                     image = np.zeros((bsz,) + p["image"].shape,
                                      dtype=p["image"].dtype)
                 image[i] = p["image"]
+            if "image_origin" in p:
+                if image_origin is None:  # pad entries keep (0, 0) — in-bounds
+                    image_origin = np.zeros((bsz, 2), dtype=np.int32)
+                image_origin[i] = p["image_origin"]
 
         if self.aligned:
             from tomosar2height_tpu.ops.sorted_scatter import trim_aligned_batch
@@ -356,4 +361,6 @@ class PatchLoader:
             out["dsm"] = dsm
         if image is not None:
             out["image"] = image
+        if image_origin is not None:
+            out["image_origin"] = image_origin
         return out

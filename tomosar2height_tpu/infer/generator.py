@@ -101,6 +101,18 @@ class DSMGenerator:
         # uint8 image wire (dataset satellite_image.wire): crops arrive as raw
         # u8 pixels (4x less upload) and normalize on device inside the jit
         self._image_norm = getattr(dataset, "image_norm", None)
+        # device-crop image wire (dataset satellite_image.crop='device'): the
+        # scene image is STATIC across tiles, so it uploads to HBM exactly
+        # once and each tile ships only a (row0, col0) origin — the jitted
+        # forward dynamic-slices its own crops. Removes the dominant
+        # cloud+image upload (0.8-3 MB/tile vs ~130 KB of points through a
+        # ~20 MB/s relay).
+        self._device_image = bool(use_image and
+                                  getattr(dataset, "image_crop_device", False))
+        self._scene_dev = None
+        if self._device_image:
+            self._img_hw = (int(dataset._image_patch_shape[0]),
+                            int(dataset._image_patch_shape[1]))
 
         self._calculate_bounds(dataset.chunk_info_ls)
         self.dsm_shape = RasterData.cal_dsm_shape(
@@ -167,13 +179,15 @@ class DSMGenerator:
         self._blend_finalize = jax.jit(_finalize)
 
     def _blend_step_impl(self, dsm_dev, wgt_dev, params, points, mask, image,
-                         cells, offsets, rows0, cols0, valid):
+                         cells, offsets, rows0, cols0, valid,
+                         scene=None, origins=None):
         """Forward one batch and blend-accumulate it into the on-device scene
         rasters (unrolled over the static batch dim; read-modify-write of a
         patch-sized window per entry)."""
         import jax.numpy as jnp
 
-        h = self._forward_impl(params, points, mask, image, cells, offsets)
+        h = self._forward_impl(params, points, mask, image, cells, offsets,
+                               scene, origins)
         pw = jnp.asarray(self.patch_weight, jnp.float32)
         ph, pwid = pw.shape
         b = h.shape[0]
@@ -205,16 +219,17 @@ class DSMGenerator:
         from tomosar2height_tpu.parallel.mesh import DATA_AXIS
 
         def local_step(dsm, wgt, params, points, mask, image, cells, offsets,
-                       rows0, cols0, valid):
+                       rows0, cols0, valid, scene, origins):
             d, w = self._blend_step_impl(dsm[0], wgt[0], params, points, mask,
                                          image, cells, offsets, rows0, cols0,
-                                         valid)
+                                         valid, scene, origins)
             return d[None], w[None]
 
         b = P(DATA_AXIS)
+        # scene image (device-crop wire) replicates; everything batched shards
         fn = shard_map(
             local_step, mesh=self.mesh,
-            in_specs=(b, b, P(), b, b, b, b, b, b, b, b),
+            in_specs=(b, b, P(), b, b, b, b, b, b, b, b, P(), b),
             out_specs=(b, b), check_vma=False)
         return jax.jit(fn, donate_argnums=(0, 1))
 
@@ -230,7 +245,22 @@ class DSMGenerator:
             self.r_bound = max(self.r_bound, r)
             self.t_bound = max(self.t_bound, t)
 
-    def _forward_impl(self, params, points, mask, image, cells, offsets):
+    def _forward_impl(self, params, points, mask, image, cells, offsets,
+                      scene=None, origins=None):
+        if scene is not None:
+            # device-crop wire: slice each tile's crop out of the resident
+            # scene image; [::-1] flips rows to y-up — together bit-identical
+            # to the host crop (dataset.py image branch). B static slices
+            # (B <= 16) beat a batched gather here.
+            import jax.numpy as jnp
+
+            h, w = self._img_hw
+            c = scene.shape[-1]
+            image = jnp.stack([
+                jax.lax.dynamic_slice(scene, (origins[i, 0], origins[i, 1], 0),
+                                      (h, w, c))
+                for i in range(origins.shape[0])
+            ])[:, ::-1]
         if image is not None and self._image_norm is not None:
             import jax.numpy as jnp
 
@@ -240,9 +270,24 @@ class DSMGenerator:
         # un-flip rows: model works y-up, raster is north-up (generator.py:147)
         return pa[..., 0][:, ::-1, :]
 
+    def _scene_device(self):
+        """The resident scene image: device_put ONCE (replicated under a
+        mesh), reused by every dispatch of every generate call."""
+        if self._scene_dev is None:
+            scene = self.data_loader.dataset.scene_image_hwc()
+            if self.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                self._scene_dev = jax.device_put(
+                    scene, NamedSharding(self.mesh, P()))
+            else:
+                self._scene_dev = jax.device_put(scene)
+        return self._scene_dev
+
     def _dispatch(self, params, batch):
         """Issue one batch's forward (async); inputs shard over the mesh."""
-        keys = ["points", "point_mask", "image", "cell", "cell_offsets"]
+        keys = ["points", "point_mask", "image", "cell", "cell_offsets",
+                "image_origin"]
         if self.wire_cells == "device" and "cell_offsets" in batch:
             keys.remove("cell")  # recomputed on device from points+mask
         dev = {k: batch[k] for k in keys if k in batch}
@@ -255,7 +300,12 @@ class DSMGenerator:
         image = dev.get("image") if self.use_image else None
         cells = dev.get("cell") if self.use_cloud else None
         offsets = dev.get("cell_offsets") if self.use_cloud else None
-        return self._forward(params, points, mask, image, cells, offsets)
+        scene = origins = None
+        if self._device_image:
+            scene = self._scene_device()
+            origins = dev.get("image_origin")
+        return self._forward(params, points, mask, image, cells, offsets,
+                             scene, origins)
 
     def _blend_batch(self, tiff_data, dsm_acc, weight_acc, h_grids, batch) -> int:
         """Blend-accumulate one batch of fetched patch rasters on host (one
@@ -436,7 +486,9 @@ class DSMGenerator:
                      not (self.wire_cells == "device" and "cell_offsets" in cur)
                      else None),
                     cur.get("cell_offsets") if self.use_cloud else None,
-                    rows0, cols0, valid.astype(np.float32))
+                    rows0, cols0, valid.astype(np.float32),
+                    self._scene_device() if self._device_image else None,
+                    cur.get("image_origin") if self._device_image else None)
             # band finalize runs even for skipped batches: the plan's
             # last-touch indices must fire on schedule
             if plan is not None:
