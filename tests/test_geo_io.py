@@ -57,6 +57,57 @@ class TestTiffCodec:
         assert out.shape == (3, 40, 60)
         np.testing.assert_array_equal(np.moveaxis(out, 0, -1), arr)
 
+    @pytest.mark.parametrize("compress", [None, "deflate"])
+    def test_bigtiff_roundtrip(self, tmp_path, rng, compress):
+        data = rng.normal(size=(2, 137, 211)).astype(np.float32)
+        path = str(tmp_path / "bt.tif")
+        write_tiff(path, data, transform=(0.5, 0.0, 7.0, 0.0, -0.5, 42.0),
+                   crs_epsg=32633, nodata=-9999.0, compress=compress,
+                   bigtiff=True)
+        with open(path, "rb") as f:
+            assert f.read(4) == b"II" + b"\x2b\x00"  # magic 43
+        out, info = read_tiff(path)
+        np.testing.assert_array_equal(out, data)
+        assert info.crs_epsg == 32633
+        assert info.nodata == -9999.0
+        np.testing.assert_allclose(info.transform, (0.5, 0.0, 7.0, 0.0, -0.5, 42.0))
+
+    def test_bigtiff_single_strip_inline_offsets(self, tmp_path):
+        # 1 strip -> offsets fit the 8-byte inline field (exercises that path)
+        data = np.arange(12, dtype=np.float32).reshape(3, 4)
+        path = str(tmp_path / "bt1.tif")
+        write_tiff(path, data, bigtiff=True)
+        out, _ = read_tiff(path)
+        np.testing.assert_array_equal(out[0], data)
+
+    def test_bigtiff_auto_and_classic_guard(self, tmp_path, monkeypatch):
+        """Over-limit rasters auto-select BigTIFF; forcing classic raises early.
+
+        Shrinks the module's offset ceiling so a small array stands in for a
+        >4 GB one (allocating 4 GB in the test is not an option).
+        """
+        import tomosar2height_tpu.geo.tiff as tiff_mod
+
+        data = np.arange(64 * 64, dtype=np.float32).reshape(64, 64)  # 16 KiB
+        monkeypatch.setattr(tiff_mod, "_CLASSIC_OFFSET_LIMIT", 1 << 10)
+        p = str(tmp_path / "auto.tif")
+        tiff_mod.write_tiff(p, data)  # auto: must pick BigTIFF
+        with open(p, "rb") as f:
+            assert f.read(4) == b"II\x2b\x00"
+        out, _ = read_tiff(p)
+        np.testing.assert_array_equal(out[0], data)
+        # forcing classic past the ceiling must raise, not write garbage
+        with pytest.raises(ValueError, match="classic TIFF"):
+            tiff_mod.write_tiff(str(tmp_path / "x.tif"), data, bigtiff=False)
+
+    def test_pil_reads_our_bigtiff(self, tmp_path):
+        PIL = pytest.importorskip("PIL.Image")
+        data = np.linspace(0, 5, 24 * 17, dtype=np.float32).reshape(24, 17)
+        p = str(tmp_path / "ours_bt.tif")
+        write_tiff(p, data, bigtiff=True)
+        img = np.array(PIL.open(p))
+        np.testing.assert_array_equal(img, data)
+
     def test_pil_can_read_ours(self, tmp_path):
         PIL = pytest.importorskip("PIL.Image")
         data = np.linspace(0, 1, 30 * 20, dtype=np.float32).reshape(30, 20)

@@ -4,15 +4,18 @@ Replaces the reference's rasterio/GDAL dependency (utils/io_raster.py) with a
 self-contained reader/writer sufficient for the pipeline's rasters: nDSM ground
 truth, building/type masks, RGB satellite images, and the generated nDSM output.
 
-Reader supports: classic TIFF (II/MM), strips and tiles, PlanarConfiguration=1,
-compression none(1)/LZW(5)/deflate(8, 32946)/PackBits(32773), horizontal predictor
-(2) and floating-point predictor (3), u/int 8/16/32, float32/64, multi-band
-contiguous samples, and the GeoTIFF tags needed for georeferencing:
-ModelPixelScale(33550), ModelTiepoint(33922), ModelTransformation(34264),
-GeoKeyDirectory(34735) (EPSG code), GDAL_NODATA(42113).
+Reader supports: classic TIFF (II/MM) and BigTIFF (magic 43), strips and tiles,
+PlanarConfiguration=1, compression none(1)/LZW(5)/deflate(8, 32946)/PackBits(32773),
+horizontal predictor (2) and floating-point predictor (3), u/int 8/16/32,
+float32/64, multi-band contiguous samples, and the GeoTIFF tags needed for
+georeferencing: ModelPixelScale(33550), ModelTiepoint(33922),
+ModelTransformation(34264), GeoKeyDirectory(34735) (EPSG code), GDAL_NODATA(42113).
 
 Writer emits little-endian classic TIFF, band-contiguous strips, optional deflate,
-float32/uint8/int32 data, and the same geo tags.
+float32/uint8/int32 data, and the same geo tags. Rasters whose encoded size would
+overflow classic TIFF's 32-bit offsets (>4 GB — e.g. a 35k x 35k f32 city nDSM)
+are written as BigTIFF automatically (the reference relies on GDAL doing the
+same, reference utils/io_raster.py:182-194); ``bigtiff=True`` forces it.
 """
 
 from __future__ import annotations
@@ -38,7 +41,9 @@ _TYPE_FMT = {
     10: ("ii", 8),  # SRATIONAL
     11: ("f", 4),  # FLOAT
     12: ("d", 8),  # DOUBLE
-    16: ("Q", 8),  # LONG8 (BigTIFF; tolerated in reads)
+    16: ("Q", 8),  # LONG8 (BigTIFF)
+    17: ("q", 8),  # SLONG8 (BigTIFF)
+    18: ("Q", 8),  # IFD8 (BigTIFF)
 }
 
 TAG_IMAGE_WIDTH = 256
@@ -65,6 +70,9 @@ TAG_GEO_KEY_DIRECTORY = 34735
 TAG_GEO_DOUBLE_PARAMS = 34736
 TAG_GEO_ASCII_PARAMS = 34737
 TAG_GDAL_NODATA = 42113
+
+# classic TIFF's offset ceiling (tests shrink this to exercise the guard)
+_CLASSIC_OFFSET_LIMIT = 1 << 32
 
 GEOKEY_GT_MODEL_TYPE = 1024
 GEOKEY_GT_RASTER_TYPE = 1025
@@ -212,28 +220,44 @@ class TiffFile:
         else:
             raise ValueError(f"Not a TIFF file: {self.path}")
         magic = struct.unpack(self._e + "H", buf[2:4])[0]
-        if magic == 43:
-            raise NotImplementedError("BigTIFF not supported")
-        if magic != 42:
+        if magic == 43:  # BigTIFF: u16 offset size (must be 8), u16 pad, u64 IFD offset
+            osize, pad = struct.unpack(self._e + "HH", buf[4:8])
+            if osize != 8 or pad != 0:
+                raise ValueError(f"Bad BigTIFF header (offset size {osize})")
+            self._big = True
+            ifd_off = struct.unpack(self._e + "Q", buf[8:16])[0]
+        elif magic == 42:
+            self._big = False
+            ifd_off = struct.unpack(self._e + "I", buf[4:8])[0]
+        else:
             raise ValueError(f"Bad TIFF magic {magic}")
-        ifd_off = struct.unpack(self._e + "I", buf[4:8])[0]
         self._tags = self._read_ifd(ifd_off)
         self._interpret()
 
     def _read_ifd(self, off: int) -> Dict[int, tuple]:
         buf, e = self._buf, self._e
-        n = struct.unpack(e + "H", buf[off:off + 2])[0]
+        # BigTIFF IFDs: u64 entry count, 20-byte entries (u64 count, 8 inline
+        # bytes), u64 next-IFD; classic: u16 / 12-byte (u32 count, 4 inline) / u32
+        if self._big:
+            n = struct.unpack(e + "Q", buf[off:off + 8])[0]
+            ent_size, hdr, cnt_fmt, inline_cap = 20, 8, "Q", 8
+        else:
+            n = struct.unpack(e + "H", buf[off:off + 2])[0]
+            ent_size, hdr, cnt_fmt, inline_cap = 12, 2, "I", 4
         tags: Dict[int, tuple] = {}
         for i in range(n):
-            ent = buf[off + 2 + 12 * i: off + 14 + 12 * i]
-            tag, typ, cnt = struct.unpack(e + "HHI", ent[:8])
+            ent = buf[off + hdr + ent_size * i: off + hdr + ent_size * (i + 1)]
+            tag, typ, cnt = struct.unpack(e + "HH" + cnt_fmt, ent[:4 + struct.calcsize(cnt_fmt)])
             if typ not in _TYPE_FMT:
                 continue
             fmt, size = _TYPE_FMT[typ]
             total = size * cnt
-            raw = ent[8:12] if total <= 4 else buf[
-                struct.unpack(e + "I", ent[8:12])[0]: struct.unpack(e + "I", ent[8:12])[0] + total
-            ]
+            val_field = ent[ent_size - inline_cap:]
+            if total <= inline_cap:
+                raw = val_field
+            else:
+                data_off = struct.unpack(e + cnt_fmt, val_field)[0]
+                raw = buf[data_off: data_off + total]
             if typ == 2:
                 tags[tag] = (raw[:cnt].split(b"\0")[0].decode("ascii", "replace"),)
             elif typ in (5, 10):
@@ -416,11 +440,14 @@ def write_tiff(
     nodata: Optional[float] = None,
     compress: Optional[str] = None,
     dtype=np.float32,
+    bigtiff: Optional[bool] = None,
 ) -> None:
     """Write a (count, H, W) or (H, W) array as a band-contiguous GeoTIFF.
 
     ``transform`` is (a, b, c, d, e, f) with x = a*col + b*row + c. Supports
-    ``compress`` in {None, 'deflate'}.
+    ``compress`` in {None, 'deflate'}. ``bigtiff`` forces the container;
+    the default (None) picks BigTIFF automatically when the encoded strips
+    would overflow classic TIFF's 32-bit offsets.
     """
     arr = np.asarray(data)
     if arr.ndim == 2:
@@ -442,6 +469,11 @@ def write_tiff(
         if compress == "deflate":
             chunk = zlib.compress(chunk, 6)
         strips.append(chunk)
+
+    if bigtiff is None:
+        # 64 KiB of slack generously covers header + IFD + tag blobs
+        bigtiff = sum(len(s) for s in strips) + 65536 >= _CLASSIC_OFFSET_LIMIT
+    big = bool(bigtiff)
 
     e = "<"
     entries: List[Tuple[int, int, int, bytes]] = []  # tag, type, count, packed value/offset data
@@ -492,16 +524,25 @@ def write_tiff(
     if nodata is not None:
         add(TAG_GDAL_NODATA, 2, repr(float(nodata)))
 
-    # strip offsets/counts placeholders (filled after layout)
-    add(TAG_STRIP_OFFSETS, 4, [0] * nstrips)
+    # strip offsets/counts placeholders (filled after layout); BigTIFF offsets
+    # are LONG8 so they can address past 4 GB
+    off_typ = 16 if big else 4
+    add(TAG_STRIP_OFFSETS, off_typ, [0] * nstrips)
     add(TAG_STRIP_BYTE_COUNTS, 4, [len(s) for s in strips])
 
     entries.sort(key=lambda x: x[0])
 
-    header = struct.pack(e + "2sHI", b"II", 42, 8)
     nentries = len(entries)
-    ifd_size = 2 + nentries * 12 + 4
-    data_off = 8 + ifd_size
+    if big:
+        # BigTIFF header: magic 43, u16 offset size (8), u16 pad, u64 first IFD
+        header = struct.pack(e + "2sHHHQ", b"II", 43, 8, 0, 16)
+        ent_size, inline_cap, cnt_fmt = 20, 8, "Q"
+        ifd_size = 8 + nentries * ent_size + 8
+    else:
+        header = struct.pack(e + "2sHI", b"II", 42, 8)
+        ent_size, inline_cap, cnt_fmt = 12, 4, "I"
+        ifd_size = 2 + nentries * ent_size + 4
+    data_off = len(header) + ifd_size
 
     # lay out out-of-line entry data
     packed_entries = []
@@ -510,8 +551,8 @@ def write_tiff(
     for tag, typ, cnt, raw in entries:
         fmt, size = _TYPE_FMT[typ]
         total = len(raw)
-        if total <= 4:
-            val = raw + b"\0" * (4 - total)
+        if total <= inline_cap:
+            val = raw + b"\0" * (inline_cap - total)
             packed_entries.append([tag, typ, cnt, val, None])
         else:
             packed_entries.append([tag, typ, cnt, None, len(blob)])
@@ -526,24 +567,29 @@ def write_tiff(
     for s in strips:
         offs.append(pos)
         pos += len(s)
-    offs_raw = struct.pack(e + "I" * nstrips, *offs)
+    if not big and pos >= _CLASSIC_OFFSET_LIMIT:
+        raise ValueError(
+            f"raster encodes to {pos / 2**30:.1f} GiB — exceeds classic TIFF's "
+            f"32-bit offsets; pass bigtiff=True (or leave bigtiff=None)")
+    off_fmt = "Q" if big else "I"
+    offs_raw = struct.pack(e + off_fmt * nstrips, *offs)
     if strip_offsets_pos is not None:
-        blob[strip_offsets_pos:strip_offsets_pos + 4 * nstrips] = offs_raw
+        blob[strip_offsets_pos:strip_offsets_pos + len(offs_raw)] = offs_raw
     else:
         for pe in packed_entries:
             if pe[0] == TAG_STRIP_OFFSETS:
-                pe[3] = offs_raw + b"\0" * (4 - len(offs_raw))
+                pe[3] = offs_raw + b"\0" * (inline_cap - len(offs_raw))
 
     out = bytearray()
     out += header
-    out += struct.pack(e + "H", nentries)
+    out += struct.pack(e + ("Q" if big else "H"), nentries)
     for tag, typ, cnt, inline, bloboff in packed_entries:
-        out += struct.pack(e + "HHI", tag, typ, cnt)
+        out += struct.pack(e + "HH" + cnt_fmt, tag, typ, cnt)
         if inline is not None:
             out += inline
         else:
-            out += struct.pack(e + "I", data_off + bloboff)
-    out += struct.pack(e + "I", 0)  # next IFD
+            out += struct.pack(e + cnt_fmt, data_off + bloboff)
+    out += struct.pack(e + cnt_fmt, 0)  # next IFD
     out += blob
     for s in strips:
         out += s
