@@ -167,3 +167,63 @@ class TestImageWire:
         for a, b in zip(jax.tree.leaves(s8.params), jax.tree.leaves(sf.params)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        atol=1e-5, rtol=1e-5)
+
+
+class TestMeshInvariance:
+    """DP sharding must be numerically transparent (VERDICT r03 #7): the same
+    global batch trained on a 1-device mesh and on the full 8-device virtual
+    mesh must publish the same loss sequence and land on the same parameters
+    within f32 reduction-order tolerance. This pins the core §2.3 claim that
+    scaling out changes WHERE the math runs, not WHAT it computes."""
+
+    @pytest.mark.parametrize("reduction", ["mean", "sum"])
+    def test_loss_sequence_1_vs_8_devices(self, rng, reduction):
+        if jax.device_count() < 8:
+            pytest.skip("needs the 8-device virtual mesh")
+        batches = [_batch(np.random.default_rng(100 + i), b=8) for i in range(6)]
+
+        def run(n_dev):
+            tr = Trainer(_tiny_model(),
+                         {"optimize_every": 2, "grad_reduction": reduction},
+                         use_cloud=True, mesh=make_mesh(n_dev), donate=False)
+            state = tr.init_state(jax.random.PRNGKey(0), batches[0])
+            losses, params = [], None
+            for b in batches:
+                state = tr.train_step(state, b, 1e-3)
+                if tr.accumulated_steps == 0:
+                    losses.append(tr.last_avg_loss)
+            params = jax.tree.map(np.asarray, jax.device_get(state.params))
+            return np.array(losses), params
+
+        loss1, p1 = run(1)
+        loss8, p8 = run(8)
+        np.testing.assert_allclose(loss8, loss1, rtol=2e-5,
+                                   err_msg="loss sequence diverged across mesh sizes")
+        flat1 = {jax.tree_util.keystr(k): v
+                 for k, v in jax.tree_util.tree_flatten_with_path(p1)[0]}
+        flat8 = {jax.tree_util.keystr(k): v
+                 for k, v in jax.tree_util.tree_flatten_with_path(p8)[0]}
+        assert set(flat1) == set(flat8)
+        for k in flat1:
+            np.testing.assert_allclose(flat8[k], flat1[k], rtol=5e-4, atol=1e-6,
+                                       err_msg=f"params diverged at {k}")
+
+    def test_loss_sequence_2_vs_8_devices_with_invalid_patches(self, rng):
+        """Same, across two sharded mesh sizes, with invalid patches in the
+        stream — the masked-mean renormalization must also be mesh-invariant."""
+        if jax.device_count() < 8:
+            pytest.skip("needs the 8-device virtual mesh")
+        batches = [_batch(np.random.default_rng(200 + i), b=8,
+                          valid=[True] * 7 + [False]) for i in range(4)]
+
+        def run(n_dev):
+            tr = Trainer(_tiny_model(), {"optimize_every": 1},
+                         use_cloud=True, mesh=make_mesh(n_dev), donate=False)
+            state = tr.init_state(jax.random.PRNGKey(0), batches[0])
+            losses = []
+            for b in batches:
+                state = tr.train_step(state, b, 1e-3)
+                losses.append(tr.last_avg_loss)
+            return np.array(losses)
+
+        np.testing.assert_allclose(run(8), run(2), rtol=2e-5)
