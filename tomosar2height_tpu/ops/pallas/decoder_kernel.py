@@ -139,10 +139,27 @@ def _decoder_kernel(top_ref, mid_ref, bot_ref,
     out_ref[0] = head.reshape(tr, w_, cout)
 
 
-def _band_rows(h: int) -> int:
+# Mosaic keeps roughly a third of each conv's 9 unrolled tap temporaries
+# (shifted bf16 copy + f32 dot output) live on the VMEM stack at once —
+# calibrated against the v5e compile report for the flagship head
+# (cin 32 -> 64 -> 128 -> 64 at W=512: 105.68 MB measured at rpad=48
+# vs 108 MB estimated). Budget 90 MB against the 100 MB scoped limit.
+_STACK_BUDGET_BYTES = 90 * 1024 * 1024
+
+
+def _stack_bytes_per_px(cin: int, c1: int, c2: int, c3: int, bpe: int) -> int:
+    convs = ((cin, c1), (c1, c2), (c2, c3))
+    return sum(3 * (ci * bpe + co * 4) for ci, co in convs)
+
+
+def _band_rows(h: int, w_: int, cin: int, c1: int, c2: int, c3: int,
+               bpe: int) -> int:
+    per_px = _stack_bytes_per_px(cin, c1, c2, c3, bpe)
     for tr in (32, 16, 8):
-        if h % tr == 0:
+        if h % tr == 0 and (tr + 2 * HALO) * w_ * per_px <= _STACK_BUDGET_BYTES:
             return tr
+    if h % 8 == 0:
+        return 8  # smallest band; let the compiler be the final arbiter
     raise ValueError(f"decoder height {h} must be a multiple of 8")
 
 
@@ -188,7 +205,8 @@ def fused_conv_decoder(x, w1, b1, w2, b2, w3, b3, w4, b4):
 def _fused_fwd_impl(x, w1, b1, w2, b2, w3, b3, w4, b4):
     b, h, w_, cin = x.shape
     assert h % 8 == 0 and w_ % 8 == 0, (h, w_)
-    tr = _band_rows(h)
+    tr = _band_rows(h, w_, cin, w1.shape[-1], w2.shape[-1], w3.shape[-1],
+                    x.dtype.itemsize)
     n_tiles = h // tr
     c1, c2, c3 = w1.shape[-1], w2.shape[-1], w3.shape[-1]
     cout = w4.shape[-1]
