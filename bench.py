@@ -151,7 +151,7 @@ def main(batch: int | None = None, n_points: int = 16384, iters: int = 40, train
          device_blend: bool = False, image: bool = False,
          fused_head: bool = False, fused_convs: bool = False,
          wire_u16: bool = False, wire_u8img: bool = False,
-         device_img: bool = False):
+         device_img: bool = False, encoder: str | None = None):
     # mode-aware defaults (r03): serving AND training = fused2 chunk-grid
     # kernels at batch 8 — per-tile kernel cost is batch-independent and
     # convs amortize, so throughput rises monotonically to b8 (serving
@@ -160,7 +160,12 @@ def main(batch: int | None = None, n_points: int = 16384, iters: int = 40, train
     # stack fused (level_bwd_kernel + pool2/scatter_plane2 transposes):
     # 25.5/32.6 p/s at b4/b8 vs plain 16.2/18.8. E2e keeps batch 4
     # (host-transfer bound; device gains invisible behind the relay wire).
-    if fused is None:
+    if encoder == "pointnet_plus_plus":
+        # the registered alternate encoder (models/pointnetpp.py) has its own
+        # FPS/ball-query structure — the Morton chunk-grid kernels are
+        # LocalPoolPointnet-specific, so it always runs the plain XLA path
+        fused = False
+    elif fused is None:
         fused = False if e2e else "fused2"
     elif fused == "none":
         fused = False
@@ -193,6 +198,15 @@ def main(batch: int | None = None, n_points: int = 16384, iters: int = 40, train
     from tomosar2height_tpu.ops.sorted_scatter import host_morton_bucket
 
     model = _flagship_model(use_image=image)
+    if encoder == "pointnet_plus_plus":
+        # flagship-scale PointNet++ SSG: same plane/U-Net stage as the
+        # default encoder, SA/FP pyramid per models/pointnetpp.py
+        model = model.clone(
+            encoder="pointnet_plus_plus",
+            encoder_kwargs={"feature_dim": 32, "plane_resolution": 256,
+                            "unet_type": "alto",
+                            "unet_kwargs": {"depth": 5, "start_filts": 32,
+                                            "merge_mode": "concat"}})
     if dtype != "float32":
         model = model.clone(dtype=jnp.dtype(dtype))
     if fused_head:
@@ -412,6 +426,13 @@ if __name__ == "__main__":
                          "raw uint8 (4x less image upload; lossless for u8 "
                          "sources), normalize on device "
                          "(dataset satellite_image.wire)")
+    ap.add_argument("--encoder", default=None,
+                    choices=["pointnet_local_pool", "pointnet_plus_plus"],
+                    help="point encoder for the micro benches (serving/"
+                         "--train): 'pointnet_plus_plus' benches the "
+                         "registered SSG alternate on the plain XLA path "
+                         "(no Morton kernels — they are LocalPoolPointnet-"
+                         "specific)")
     ap.add_argument("--device-img", action="store_true",
                     help="with --image --e2e: resident scene image — upload "
                          "the whole scene to HBM once and crop per tile on "
@@ -429,6 +450,10 @@ if __name__ == "__main__":
     if a.device_img and not (a.image and a.e2e):
         ap.error("--device-img requires --image --e2e (serving only; "
                  "training keeps host crops for augmentation)")
+    if a.encoder == "pointnet_plus_plus" and (a.e2e or a.scan > 1
+                                              or a.fused not in (None, "none")):
+        ap.error("--encoder pointnet_plus_plus supports the micro benches "
+                 "only (no --e2e/--scan/--fused)")
 
     # The axon TPU tunnel has multi-hour outages during which backend init
     # hangs FOREVER (no error). Probe it in a bounded subprocess first so an
@@ -458,7 +483,7 @@ if __name__ == "__main__":
     try:
         main(a.batch, a.points, a.iters, a.train, a.dtype, a.scan, a.sorted,
              a.e2e, a.fused, a.big, a.device_blend, a.image, a.fused_head,
-             a.fused_convs, a.wire_u16, a.wire_u8img, a.device_img)
+             a.fused_convs, a.wire_u16, a.wire_u8img, a.device_img, a.encoder)
     except Exception:
         # Insurance for the driver's unattended run: if the auto-selected
         # fused2 kernel path fails to lower/compile on the live backend,
@@ -472,4 +497,5 @@ if __name__ == "__main__":
         print("bench: fused2 default failed; retrying on the plain XLA path",
               file=sys.stderr)
         main(a.batch, a.points, a.iters, a.train, a.dtype, a.scan, a.sorted,
-             a.e2e, "none", a.big, a.device_blend, a.image, False, False)
+             a.e2e, "none", a.big, a.device_blend, a.image, False, False,
+             encoder=a.encoder)

@@ -92,9 +92,9 @@ def _xla_pair(x, w1, b1, w2, b2, pool):
 def _pair_impl(x, w1, b1, w2, b2, pool: bool):
     b, h, w_, cin = x.shape
     assert h % 8 == 0 and w_ % 8 == 0, (h, w_)
-    tr = _band_rows(h)
-    n_tiles = h // tr
     c1, c2 = w1.shape[-1], w2.shape[-1]
+    tr = _band_rows(h, w_, ((cin, c1), (c1, c2)), x.dtype.itemsize)
+    n_tiles = h // tr
     assert c1 == w2.shape[2], "pair intermediate/second-conv channel mismatch"
     dt = x.dtype
     rpad = tr + 2 * HALO

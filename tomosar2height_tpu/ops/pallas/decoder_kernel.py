@@ -147,14 +147,17 @@ def _decoder_kernel(top_ref, mid_ref, bot_ref,
 _STACK_BUDGET_BYTES = 90 * 1024 * 1024
 
 
-def _stack_bytes_per_px(cin: int, c1: int, c2: int, c3: int, bpe: int) -> int:
-    convs = ((cin, c1), (c1, c2), (c2, c3))
+def _stack_bytes_per_px(convs, bpe: int) -> int:
     return sum(3 * (ci * bpe + co * 4) for ci, co in convs)
 
 
-def _band_rows(h: int, w_: int, cin: int, c1: int, c2: int, c3: int,
-               bpe: int) -> int:
-    per_px = _stack_bytes_per_px(cin, c1, c2, c3, bpe)
+def _band_rows(h: int, w_: int, convs, bpe: int) -> int:
+    """Largest band height whose estimated Mosaic stack fits the VMEM budget.
+
+    ``convs`` is the kernel's conv chain as (cin, cout) pairs — the decoder
+    head passes three stages, the conv-pair kernel two.
+    """
+    per_px = _stack_bytes_per_px(convs, bpe)
     for tr in (32, 16, 8):
         if h % tr == 0 and (tr + 2 * HALO) * w_ * per_px <= _STACK_BUDGET_BYTES:
             return tr
@@ -205,8 +208,9 @@ def fused_conv_decoder(x, w1, b1, w2, b2, w3, b3, w4, b4):
 def _fused_fwd_impl(x, w1, b1, w2, b2, w3, b3, w4, b4):
     b, h, w_, cin = x.shape
     assert h % 8 == 0 and w_ % 8 == 0, (h, w_)
-    tr = _band_rows(h, w_, cin, w1.shape[-1], w2.shape[-1], w3.shape[-1],
-                    x.dtype.itemsize)
+    tr = _band_rows(h, w_,
+                    ((cin, w1.shape[-1]), (w1.shape[-1], w2.shape[-1]),
+                     (w2.shape[-1], w3.shape[-1])), x.dtype.itemsize)
     n_tiles = h // tr
     c1, c2, c3 = w1.shape[-1], w2.shape[-1], w3.shape[-1]
     cout = w4.shape[-1]

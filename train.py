@@ -34,6 +34,31 @@ from tomosar2height_tpu.utils.cache import select_platform
 log = logging.getLogger("train")
 
 
+def _memory_metrics(n_iter: int, every: int) -> dict:
+    """Device HBM + host RSS at ``print_every`` cadence (empty otherwise).
+
+    Long-run steadiness evidence (leaks would show as monotonic growth in
+    the metrics.jsonl trail); backends without memory_stats report host only.
+    """
+    if every <= 0 or n_iter % every != 0:
+        return {}
+    out = {}
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        if stats and "bytes_in_use" in stats:
+            out["misc/hbm_bytes_in_use"] = int(stats["bytes_in_use"])
+            if "peak_bytes_in_use" in stats:
+                out["misc/hbm_peak_bytes"] = int(stats["peak_bytes_in_use"])
+    except Exception:  # relay backends may not expose memory_stats
+        pass
+    try:
+        with open("/proc/self/statm") as f:
+            out["misc/host_rss_bytes"] = int(f.read().split()[1]) * os.sysconf("SC_PAGE_SIZE")
+    except OSError:
+        pass
+    return out
+
+
 def main(overrides=None):
     cfg = compose(default_conf_dir(), overrides=overrides if overrides is not None else sys.argv[1:])
 
@@ -209,6 +234,7 @@ def main(overrides=None):
                 "train/loss": trainer.last_avg_loss,
                 "lr": scheduler.lr,
                 "misc/training_time": training_time,
+                **_memory_metrics(n_iter, cfg_training["print_every"]),
                 **{f"train/{k}": v for k, v in trainer.last_avg_loss_dict.items()},
             }, step=n_iter)
 
