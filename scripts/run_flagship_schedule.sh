@@ -71,7 +71,7 @@ dataset.points.train_bucket=16384 dataset.points.bucket_sizes=[16384] \
 dataset.points.sort=true model.encoder_kwargs.sorted_impl=fused2 \
 model.dtype=bfloat16 \
 training.out_dir=$OUT run_suffix=-flagship10k \
-training.batch_size=8 training.optimize_every=8 \
+training.batch_size=8 training.optimize_every=8 training.val_batch_size=8 \
 training.random_dataset_length=6400 \
 training.max_iteration=10000 \
 training.print_every=10 training.validate_every=100 \
