@@ -242,14 +242,19 @@ class TomoSARDataset:
         inputs_norm, _ = crop_pc_2d(inputs_norm, self._min_norm_bound, self._max_norm_bound)
         return inputs_norm
 
-    def __getitem__(self, idx: int) -> dict:
+    def __getitem__(self, idx: int, rng: Optional[np.random.Generator] = None) -> dict:
+        # ``rng``: explicit per-item generator (PatchLoader det_stream). Makes
+        # the patch a pure function of (seed, epoch, stream position) so a
+        # killed run resumes on the EXACT patch stream it left; None keeps the
+        # reference's global-RNG sampling (dataset.py:211-263).
+        r = rng if rng is not None else np.random
         # anchor (reference dataset.py:211-225)
         if self.random_sample:
             chunk_idx = self.dataset_chunk_idx_ls[idx % len(self.dataset_chunk_idx_ls)]
             info = self.chunk_info[chunk_idx]
             mn = np.asarray(info["min_bound"], dtype=np.float64)
             mx = np.asarray(info["max_bound"], dtype=np.float64)
-            rand = np.random.rand(2)
+            rand = r.random(2)
             anchor = rand * (mx[:2] - mn[:2] - self.patch_size[:2])
             if self.n_images > 0:  # snap to the image pixel grid
                 anchor = np.floor(anchor / self._image_pixel_size) * self._image_pixel_size
@@ -281,8 +286,8 @@ class TomoSARDataset:
             raise ValueError(f"Unknown shift strategy: {strategy}")
 
         # augmentation draws (reference dataset.py:253-263)
-        rot_times = int(np.random.choice(4)) if self.rotate_augm else 0
-        flip_dim = int(np.random.choice([-1, 0, 1])) if self.flip_augm else -1
+        rot_times = int(r.choice(4)) if self.rotate_augm else 0
+        flip_dim = int(r.choice([-1, 0, 1])) if self.flip_augm else -1
         rot_mat = ROT_MATRICES[rot_times]
         flip_mat = FLIP_MATRICES[flip_dim]
 

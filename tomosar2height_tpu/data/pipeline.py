@@ -89,6 +89,7 @@ class PatchLoader:
         aligned: bool = False,
         tile_cells: Optional[int] = None,
         wire_points: str = "float32",
+        det_stream: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = int(batch_size)
@@ -131,6 +132,14 @@ class PatchLoader:
         # worker processes; dataset.__getitem__ is numpy + GIL-releasing C++
         # fast paths, so threads suffice here)
         self.n_workers = int(n_workers)
+        # det_stream: every batch is a pure function of (seed, epoch, batch
+        # index) — per-item generators replace the dataset's global-RNG draws
+        # and batches carry their stream position ('_stream_pos') so training
+        # can checkpoint it and set_position() resumes the EXACT stream
+        # (bit-consistent kill-and-resume; the torch reference restarts its
+        # DataLoader stream from scratch on resume, train.py:129-137).
+        self.det_stream = bool(det_stream)
+        self._start_batch = 0
         self._epoch = 0
         # bucket-overflow observability ("no silent caps"): points dropped by
         # subsampling when a patch exceeds the largest bucket, reset per epoch
@@ -186,26 +195,49 @@ class PatchLoader:
                 self.overflow_patches, self.bucket_sizes[-1], self.overflow_points,
             )
 
-    def _fetch_patches(self, idx: np.ndarray):
+    def set_position(self, epoch: int, batch_idx: int):
+        """Restart the loader at stream position (epoch, batch_idx) — the
+        '_stream_pos' a det_stream batch carries names the position AFTER it,
+        so passing a checkpointed position replays from the next batch.
+        Requires det_stream (positions are meaningless otherwise)."""
+        assert self.det_stream, "set_position requires det_stream=True"
+        per_epoch = len(self)
+        if batch_idx >= per_epoch:
+            epoch, batch_idx = epoch + 1, 0
+        # __iter__ pre-increments _epoch
+        self._epoch = int(epoch) - 1
+        self._start_batch = int(batch_idx)
+
+    def _item_rng(self, pos: int) -> Optional[np.random.Generator]:
+        """Per-item generator keyed by absolute position in the epoch."""
+        if not self.det_stream:
+            return None
+        return np.random.default_rng(
+            np.random.SeedSequence([self.seed, self._epoch, pos]))
+
+    def _fetch_patches(self, idx: np.ndarray, base: int = 0):
         """Yield dataset[i] in order; with n_workers > 0, fetches run in a
-        thread pool with a bounded lookahead window."""
+        thread pool with a bounded lookahead window. ``base`` is the epoch
+        position of idx[0] (nonzero after set_position)."""
         if self.n_workers <= 0:
-            for i in idx:
-                yield self.dataset[int(i)]
+            for k, i in enumerate(idx):
+                yield self.dataset.__getitem__(int(i), self._item_rng(base + k))
             return
         from concurrent.futures import ThreadPoolExecutor
 
         lookahead = self.batch_size * max(self.prefetch + 1, 2)
         with ThreadPoolExecutor(max_workers=self.n_workers) as ex:
             pending = []
-            it = iter(idx)
-            for i in it:
-                pending.append(ex.submit(self.dataset.__getitem__, int(i)))
+            it = enumerate(idx)
+            for k, i in it:
+                pending.append(ex.submit(self.dataset.__getitem__, int(i),
+                                         self._item_rng(base + k)))
                 if len(pending) >= lookahead:
                     break
-            for i in it:
+            for k, i in it:
                 yield pending.pop(0).result()
-                pending.append(ex.submit(self.dataset.__getitem__, int(i)))
+                pending.append(ex.submit(self.dataset.__getitem__, int(i),
+                                         self._item_rng(base + k)))
             for f in pending:
                 yield f.result()
 
@@ -221,15 +253,30 @@ class PatchLoader:
         idx = self._indices()
         if self.drop_last:
             idx = idx[: (len(idx) // self.batch_size) * self.batch_size]
-        patch_it = self._fetch_patches(idx)
+        start, self._start_batch = self._start_batch, 0
+        idx = idx[start * self.batch_size:]
+        patch_it = self._fetch_patches(idx, base=start * self.batch_size)
         batch: List[dict] = []
+        bi = start
         for p in patch_it:
             batch.append(p)
             if len(batch) == self.batch_size:
-                yield self.collate(batch, rng)
+                yield self._finish_batch(batch, bi, rng)
                 batch = []
+                bi += 1
         if batch:
-            yield self.collate(batch, rng)
+            yield self._finish_batch(batch, bi, rng)
+
+    def _finish_batch(self, batch: List[dict], bi: int, rng):
+        if self.det_stream:
+            # position-keyed collate rng (pad_points subsample draws) + the
+            # stream position AFTER this batch, for checkpointed resume
+            rng = np.random.default_rng(
+                np.random.SeedSequence([self.seed + 1000, self._epoch, bi]))
+            out = self.collate(batch, rng)
+            out["_stream_pos"] = (self._epoch, bi + 1)
+            return out
+        return self.collate(batch, rng)
 
     def collate(self, patches: List[dict], rng: Optional[np.random.Generator] = None):
         n_real = len(patches)

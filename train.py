@@ -138,8 +138,13 @@ def main(overrides=None):
                   sort_reso=sort_reso, aligned=aligned, n_workers=n_workers,
                   tile_cells=tile_cells_for_impl(sorted_impl))
     loaders = {
+        # det_stream under lock_seed: every train batch is a pure function of
+        # (seed, epoch, batch index) and checkpoints record the stream
+        # position -> kill-and-resume continues on the exact patch stream
+        # (bit-consistent; tests/test_resume_bitexact.py)
         "train": PatchLoader(datasets["train"], cfg_training["batch_size"],
-                             shuffle=True, drop_last=True, prefetch=prefetch, **common),
+                             shuffle=True, drop_last=True, prefetch=prefetch,
+                             det_stream=bool(cfg_training["lock_seed"]), **common),
         "val": PatchLoader(datasets["val"], cfg_training["val_batch_size"], **common),
         "vis": PatchLoader(datasets["vis"], cfg_training["val_batch_size"], **common),
     }
@@ -194,11 +199,17 @@ def main(overrides=None):
         log.info("Training from scratch.")
     n_iter = int(load_dict.get("n_iter", 0))
     metric_val_best = float(load_dict.get("loss_val_best", np.inf))
+    stream_pos = load_dict.get("stream_pos")
+    if stream_pos and loaders["train"].det_stream:
+        loaders["train"].set_position(int(stream_pos[0]), int(stream_pos[1]))
+        log.info("Resuming patch stream at epoch %s, batch %s.", *stream_pos)
+    stream_pos = list(stream_pos) if stream_pos else None
 
     def save_ckpt(path):
         checkpoint_io.module_dict["model"] = state.params
         checkpoint_io.module_dict["optimizer"] = state.opt_state
         checkpoint_io.save(path, n_iter=n_iter, loss_val_best=metric_val_best,
+                           stream_pos=stream_pos,
                            training_time=time.time() - t_start + float(load_dict.get("training_time", 0.0)))
 
     def visualize():
@@ -214,17 +225,20 @@ def main(overrides=None):
     def _prepared_batches(loader):
         nxt = None
         for batch in loader:
+            pos = batch.pop("_stream_pos", None)
             if not batch["patch_valid"].any():
                 continue
-            cur, nxt = nxt, trainer.prepare_batch(batch)
+            cur, nxt = nxt, (trainer.prepare_batch(batch), pos)
             if cur is not None:
                 yield cur
         if nxt is not None:
             yield nxt
 
     while n_iter < cfg_training["max_iteration"]:
-        for batch in _prepared_batches(loaders["train"]):
+        for batch, batch_pos in _prepared_batches(loaders["train"]):
             state = trainer.train_step(state, batch, scheduler.lr)
+            if batch_pos is not None:
+                stream_pos = list(batch_pos)
             if trainer.accumulated_steps != 0:
                 continue
             n_iter += 1
@@ -240,8 +254,13 @@ def main(overrides=None):
 
             if n_iter % cfg_training["print_every"] == 0:
                 log.info("Iteration %d, Loss = %.5f", n_iter, trainer.last_avg_loss)
-            if n_iter % cfg_training["checkpoint_every"] == 0:
-                save_ckpt(os.path.join(out_dir_ckpt, f"model_{n_iter}.ckpt"))
+            # scheduler steps BEFORE any checkpoint save: the saved scheduler
+            # state must be the state the next iteration trains with, or
+            # kill-and-resume repeats one stale LR (the reference saves
+            # pre-step, train.py:170-190 — a latent resume off-by-one
+            # deliberately not replicated; tests/test_resume_bitexact.py)
+            if cfg_training["scheduler"]["type"] in ITERATION_SCHEDULERS:
+                scheduler.step()
             if n_iter % cfg_training["validate_every"] == 0:
                 eval_dict = trainer.evaluate(state, loaders["val"])
                 metric_val = eval_dict[cfg_training["model_selection_metric"]]
@@ -254,10 +273,10 @@ def main(overrides=None):
                 if metric_val < metric_val_best:
                     metric_val_best = metric_val
                     save_ckpt(os.path.join(out_dir_ckpt, "model_best.ckpt"))
+            if n_iter % cfg_training["checkpoint_every"] == 0:
+                save_ckpt(os.path.join(out_dir_ckpt, f"model_{n_iter}.ckpt"))
             if n_iter % cfg_training["visualize_every"] == 0:
                 visualize()
-            if cfg_training["scheduler"]["type"] in ITERATION_SCHEDULERS:
-                scheduler.step()
             if n_iter >= cfg_training["max_iteration"]:
                 break
 
