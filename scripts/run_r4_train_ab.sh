@@ -22,4 +22,14 @@ run bench.py --train --batch 4 --iters 80
 run bench.py --train --batch 4 --fused fused --iters 80
 run bench.py --train --batch 4 --fused none --iters 80
 run bench.py --train --batch 4 --points 8192 --iters 80
+
+# e2e refinements on the r4-sweep finding (fused2 b4 = 57.3 beats the r3
+# default): scan-blend and u16-wire variants of the new winner
+run bench.py --e2e --device-blend --big --fused fused2 --batch 4 --blend-scan
+run bench.py --e2e --device-blend --big --fused fused2 --batch 4 --wire-u16
+
+# re-runs: these two r4-sweep legs collided with a stray test.py holding the
+# chip (FAILED_PRECONDITION / contended timing)
+run bench.py --e2e --image --device-blend
+run bench.py --e2e --image --device-blend --fused fused2 --wire-u8img --wire-u16
 echo "=== done $(date -u +%FT%TZ) ===" | tee -a "$OUT"

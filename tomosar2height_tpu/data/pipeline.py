@@ -215,13 +215,20 @@ class PatchLoader:
         return np.random.default_rng(
             np.random.SeedSequence([self.seed, self._epoch, pos]))
 
+    def _get_item(self, i: int, rng: Optional[np.random.Generator]):
+        """dataset[i], passing the stream rng only under det_stream so plain
+        single-argument datasets (the standard __getitem__ signature) work."""
+        if rng is None:
+            return self.dataset[i]
+        return self.dataset.__getitem__(i, rng)
+
     def _fetch_patches(self, idx: np.ndarray, base: int = 0):
         """Yield dataset[i] in order; with n_workers > 0, fetches run in a
         thread pool with a bounded lookahead window. ``base`` is the epoch
         position of idx[0] (nonzero after set_position)."""
         if self.n_workers <= 0:
             for k, i in enumerate(idx):
-                yield self.dataset.__getitem__(int(i), self._item_rng(base + k))
+                yield self._get_item(int(i), self._item_rng(base + k))
             return
         from concurrent.futures import ThreadPoolExecutor
 
@@ -230,13 +237,13 @@ class PatchLoader:
             pending = []
             it = enumerate(idx)
             for k, i in it:
-                pending.append(ex.submit(self.dataset.__getitem__, int(i),
+                pending.append(ex.submit(self._get_item, int(i),
                                          self._item_rng(base + k)))
                 if len(pending) >= lookahead:
                     break
             for k, i in it:
                 yield pending.pop(0).result()
-                pending.append(ex.submit(self.dataset.__getitem__, int(i),
+                pending.append(ex.submit(self._get_item, int(i),
                                          self._item_rng(base + k)))
             for f in pending:
                 yield f.result()
