@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import shutil
 import time
 
 import numpy as np
@@ -93,12 +94,27 @@ def e2e_bench(batch: int = 4, dtype: str = "float32", iters: int = 3,
         overrides.append("model.encoder_kwargs.unet_kwargs.fused_convs=true")
         if image:
             overrides.append("model.encoder2_kwargs.fused_convs=true")
-    if not os.path.exists(os.path.join(root, "generated", "chunk_info.yaml")):
-        # ~0.06 pts/m^2 fills the 16k bucket on a 512 m patch without overflow
-        kw = dict(width=width, height=height) if big else {}
+    # ~0.06 pts/m^2 fills the 16k bucket on a 512 m patch without overflow
+    kw = dict(width=width, height=height) if big else {}
+    build_params = {"seed": 0, "density": 0.055, **kw}
+    stamp_path = os.path.join(root, "city_params.json")
+    stamp = None
+    if os.path.exists(stamp_path):
+        with open(stamp_path) as f:
+            stamp = json.load(f)
+    if (stamp != build_params
+            or not os.path.exists(os.path.join(root, "generated",
+                                               "chunk_info.yaml"))):
+        # Missing or stale cache (e.g. another script regenerated the city
+        # with different params — a 0.6 pts/m^2 city silently overflows the
+        # 16k bucket and invalidates every number measured on it).
+        if os.path.isdir(root):
+            shutil.rmtree(root)
         msc.main(root, seed=0, density=0.055, **kw)
         cfg = compose(default_conf_dir(), overrides=overrides)
         build_dataset(cfg, overwrite=True)
+        with open(stamp_path, "w") as f:
+            json.dump(build_params, f)
     cfg = compose(default_conf_dir(), overrides=overrides)
 
     dataset = TomoSARDataset("vis", cfg["dataset"], random_sample=False,

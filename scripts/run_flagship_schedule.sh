@@ -15,13 +15,17 @@
 # tests/test_resume_bitexact.py pins that on CPU).
 set -u
 cd "$(dirname "$0")/.."
-ROOT=$PWD/.bench/city
+# Own city dir — NEVER share .bench/city with bench.py: an earlier draft
+# regenerated that city at the make_synthetic_city default density (0.6)
+# and silently invalidated the e2e bench numbers measured after it.
+# 0.055 pts/m^2 is the density that fills the 16k bucket without overflow.
+ROOT=$PWD/.bench/city_flagship
 OUT=$PWD/.bench/outputs
 RUN="$OUT/TomoSAR2Height-synthetic-flagship10k"
 
 if [ ! -f "$ROOT/raster/ndsm.tif" ]; then
-  echo "=== generating bench city ==="
-  python scripts/make_synthetic_city.py --out "$ROOT" --seed 0
+  echo "=== generating flagship city ==="
+  python scripts/make_synthetic_city.py --out "$ROOT" --seed 0 --density 0.055
 fi
 
 OV="dataset=synthetic dataset.path=$ROOT/generated gt_dsm=$ROOT/raster/ndsm.tif \
