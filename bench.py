@@ -96,12 +96,23 @@ def e2e_bench(batch: int = 4, dtype: str = "float32", iters: int = 3,
             overrides.append("model.encoder2_kwargs.fused_convs=true")
     # ~0.06 pts/m^2 fills the 16k bucket on a 512 m patch without overflow
     kw = dict(width=width, height=height) if big else {}
-    build_params = {"seed": 0, "density": 0.055, **kw}
+    # The stamp must cover EVERYTHING that shapes generated/: city-generation
+    # params (resolved width/height, incl. the implicit defaults in the
+    # non-big case) AND the dataset-build config (chunk grid) — a config
+    # change must not silently reuse a stale dataset (ADVICE r04).
+    build_params = {"seed": 0, "density": 0.055,
+                    "width": width or msc.W, "height": height or msc.H,
+                    "grid": grid_overrides}
     stamp_path = os.path.join(root, "city_params.json")
     stamp = None
     if os.path.exists(stamp_path):
-        with open(stamp_path) as f:
-            stamp = json.load(f)
+        # an unreadable/corrupt stamp (e.g. a run killed mid-write) is STALE,
+        # not fatal — fall through to the rebuild path (ADVICE r04)
+        try:
+            with open(stamp_path) as f:
+                stamp = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            stamp = None
     if (stamp != build_params
             or not os.path.exists(os.path.join(root, "generated",
                                                "chunk_info.yaml"))):

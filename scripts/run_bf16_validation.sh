@@ -5,9 +5,19 @@
 # column against RESULTS.md's f32 leg (both batch 8 x optimize_every 8, remat).
 set -u
 cd "$(dirname "$0")/.."
-ROOT=$PWD/.bench/city
+# Own city dir — NEVER share .bench/city with bench.py: bench.py rmtree's and
+# rebuilds that dir on any stamp mismatch, which would swap the training data
+# mid-run between resume attempts (ADVICE r04). Same density/seed as the
+# flagship city (0.055 fills the 16k bucket without overflow).
+ROOT=$PWD/.bench/city_bf16
 OUT=$PWD/.bench/outputs
 RUN="$OUT/TomoSAR2Height-synthetic-bf16r3"
+
+if [ ! -f "$ROOT/raster/ndsm.tif" ]; then
+  echo "=== generating bf16-validation city ==="
+  python scripts/make_synthetic_city.py --out "$ROOT" --seed 0 --density 0.055
+fi
+
 OV="dataset=synthetic dataset.path=$ROOT/generated gt_dsm=$ROOT/raster/ndsm.tif \
 input_pointcloud_folder=$ROOT/cloud output.output_folder=$ROOT/generated \
 mask_files.building=$ROOT/raster/footprint.tif \
@@ -20,6 +30,11 @@ training.out_dir=$OUT run_suffix=-bf16r3 \
 training.batch_size=8 training.optimize_every=8 training.max_iteration=150 \
 training.validate_every=5 training.checkpoint_every=5 \
 training.visualize_every=100000 model.dtype=bfloat16"
+
+if [ ! -d "$ROOT/generated/chunk_000" ]; then
+  echo "=== building dataset ==="
+  python scripts/build_dataset.py $OV
+fi
 
 for attempt in 1 2 3 4; do
   LATEST=$(ls "$RUN"/check_points/model_*.ckpt 2>/dev/null \

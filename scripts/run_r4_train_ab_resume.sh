@@ -5,14 +5,17 @@
 #   (* = overlapped a stray CPU-smoke that landed on the TPU 04:36-04:47Z —
 #    re-run below for clean numbers)
 # One TPU client at a time — run alone.
-set -u
+set -u -o pipefail
 OUT=${1:-/tmp/r4_train_ab.log}
 export TOMOSAR_BENCH_SKIP_PROBE=1
 cd "$(dirname "$0")/.."
 echo "=== r4 train A/B resume $(date -u +%FT%TZ) ===" | tee -a "$OUT"
 run() {
+  # echo the exit status so a failed/timed-out leg can't be misread as a
+  # quiet success when the log is mined for RESULTS numbers (ADVICE r04)
   echo "--- $* ---" | tee -a "$OUT"
   timeout 1800 python "$@" 2>&1 | grep -v "^WARNING" | tail -4 | tee -a "$OUT"
+  echo "--- exit $? ---" | tee -a "$OUT"
 }
 # remaining legs of the original plan
 run bench.py --train --batch 4 --fused fused --iters 80

@@ -202,3 +202,29 @@ class TestMetricLoggerWatch:
         assert "watch/param_norm/enc" not in step1
         assert step2["watch/param_norm/enc"] == pytest.approx(2.0)
         assert step2["watch/param_norm/dec"] == pytest.approx(6.0)
+
+    def test_watch_norms_fn_precomputed(self, tmp_path):
+        """Production path: norms precomputed on device (Trainer.module_norms)
+        — the logger consumes scalars and never touches the param tree."""
+        import json
+
+        from tomosar2height_tpu.utils import MetricLogger
+
+        calls = []
+
+        def norms():
+            calls.append(1)
+            return {"enc": 2.0, "dec": 6.0}
+
+        lg = MetricLogger().init("p", {}, "run", str(tmp_path))
+        lg.watch(norms_fn=norms, log_freq=2)
+        lg.log({"loss": 1.0}, step=1)   # not a watch step
+        lg.log({"loss": 0.5}, step=2)   # watch step
+        lg.finish()
+        assert len(calls) == 1          # only invoked at watch cadence
+        recs = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+        step1 = next(r for r in recs if r.get("_step") == 1)
+        step2 = next(r for r in recs if r.get("_step") == 2)
+        assert "watch/param_norm/enc" not in step1
+        assert step2["watch/param_norm/enc"] == pytest.approx(2.0)
+        assert step2["watch/param_norm/dec"] == pytest.approx(6.0)

@@ -122,6 +122,30 @@ class TestDeviceMetrics:
                     use_cloud=True, mesh=make_mesh(1), donate=False)
 
 
+class TestModuleNorms:
+    def test_matches_host_numpy(self, rng):
+        # on-device per-module norms (the watch production path; the host
+        # alternative fetches the full param tree per step — VERDICT r04)
+        trainer = Trainer(_tiny_model(), {"optimize_every": 1}, use_cloud=True,
+                          mesh=make_mesh(1), donate=False)
+        batch = _batch(rng)
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        norms = trainer.module_norms(state.params)
+        tree = state.params["params"]
+        assert set(norms) == set(tree)
+        for name, sub in tree.items():
+            expect = np.sqrt(sum(float((np.asarray(l, np.float64) ** 2).sum())
+                                 for l in jax.tree.leaves(sub)))
+            assert norms[name] == pytest.approx(expect, rel=1e-5)
+
+    def test_plain_dict_and_empty(self):
+        trainer = Trainer(_tiny_model(), {"optimize_every": 1}, use_cloud=True,
+                          mesh=make_mesh(1), donate=False)
+        assert trainer.module_norms({}) == {}
+        got = trainer.module_norms({"m": {"w": jnp.full((4,), 3.0)}})
+        assert got["m"] == pytest.approx(6.0)
+
+
 class TestMaskedPatchMean:
     def test_weights(self):
         per_pixel = jnp.asarray(np.stack([np.full((4, 4), 2.0), np.full((4, 4), 100.0)]))
