@@ -60,6 +60,23 @@ def _tiny_model():
     )
 
 
+def _fusion_model():
+    """Tiny cloud+image model (the paper's headline fusion config shrunk)."""
+    return TomoSAR2Height(
+        use_cloud=True, use_image=True,
+        encoder_kwargs={
+            "feature_dim": 8, "hidden_dim": 8, "plane_resolution": 32,
+            "unet_type": "alto",
+            "unet_kwargs": {"depth": 3, "start_filts": 8,
+                            "merge_mode": "concat"},
+        },
+        encoder2_kwargs={"num_classes": 8, "in_channels": 3, "depth": 2,
+                         "start_filts": 8},
+        decoder_kwargs={"hidden_dim": 8, "output_size": 128},
+        z_scale=60.0,
+    )
+
+
 def _generate(cfg, tmp_path, mesh, tag, device_blend=False,
               wire_dtype="float32", blend_loop="unroll"):
     ds = TomoSARDataset("vis", cfg["dataset"])
@@ -145,24 +162,8 @@ class TestShardedInference:
         stitched raster matches the f32-wire raster (integral u8 source)."""
         import copy
 
-        import jax.numpy as jnp
-
-        from tomosar2height_tpu.models import TomoSAR2Height
-
         cfg, root = city
-        model = TomoSAR2Height(
-            use_cloud=True, use_image=True,
-            encoder_kwargs={
-                "feature_dim": 8, "hidden_dim": 8, "plane_resolution": 32,
-                "unet_type": "alto",
-                "unet_kwargs": {"depth": 3, "start_filts": 8,
-                                "merge_mode": "concat"},
-            },
-            encoder2_kwargs={"num_classes": 8, "in_channels": 3, "depth": 2,
-                             "start_filts": 8},
-            decoder_kwargs={"hidden_dim": 8, "output_size": 128},
-            z_scale=60.0,
-        )
+        model = _fusion_model()
 
         def generate(dcfg, tag, params=None):
             ds = TomoSARDataset("vis", dcfg)
@@ -198,22 +199,8 @@ class TestShardedInference:
         uint8 wire (device normalize), and the sharded device-blend path."""
         import copy
 
-        from tomosar2height_tpu.models import TomoSAR2Height
-
         cfg, root = city
-        model = TomoSAR2Height(
-            use_cloud=True, use_image=True,
-            encoder_kwargs={
-                "feature_dim": 8, "hidden_dim": 8, "plane_resolution": 32,
-                "unet_type": "alto",
-                "unet_kwargs": {"depth": 3, "start_filts": 8,
-                                "merge_mode": "concat"},
-            },
-            encoder2_kwargs={"num_classes": 8, "in_channels": 3, "depth": 2,
-                             "start_filts": 8},
-            decoder_kwargs={"hidden_dim": 8, "output_size": 128},
-            z_scale=60.0,
-        )
+        model = _fusion_model()
         params = None
 
         def generate(dcfg, tag, mesh=None, device_blend=False):
@@ -251,6 +238,47 @@ class TestShardedInference:
         sharded = generate(ddev, "crop_dev_shard", mesh=make_mesh(8),
                            device_blend=True)
         np.testing.assert_allclose(sharded, host_raster, atol=2e-3, rtol=1e-4)
+
+    def test_fusion_sharded_matches_single(self, city, tmp_path):
+        """Cloud+image fusion under the 8-device mesh (VERDICT r04 item 2):
+        sharded u8 image crops — host blend AND device blend — must
+        reproduce the single-device f32-wire host-blend raster. Pins the
+        paper's headline config's multi-device correctness (the other
+        sharded tests run use_image=False; the image-wire tests run
+        mesh=None)."""
+        import copy
+
+        cfg, root = city
+        model = _fusion_model()
+        params = None
+
+        def generate(dcfg, tag, mesh=None, device_blend=False):
+            nonlocal params
+            ds = TomoSARDataset("vis", dcfg)
+            loader = PatchLoader(ds, batch_size=8, bucket_sizes=[2048],
+                                 fixed_bucket=2048)
+            sample = loader.collate([ds[0]])
+            if params is None:
+                assert sample["image"].dtype != np.uint8  # f32 leg first
+                params = model.init(jax.random.PRNGKey(0), sample["points"],
+                                    sample["point_mask"], sample["image"])
+            gen = DSMGenerator(model, lambda: params, loader,
+                               dsm_pixel_size=[1.0, 1.0],
+                               half_blend_percent=[0.5, 0.5],
+                               use_cloud=True, use_image=True, mesh=mesh,
+                               device_blend=device_blend)
+            out = str(tmp_path / f"dsm_{tag}.tiff")
+            return gen.generate_dsm(out).get_data()
+
+        single = generate(cfg["dataset"], "fus_single")
+        assert np.isfinite(single).all()
+        d8 = copy.deepcopy(dict(cfg["dataset"]))
+        d8["satellite_image"]["wire"] = "uint8"
+        sharded = generate(d8, "fus_shard8", mesh=make_mesh(8))
+        np.testing.assert_allclose(sharded, single, atol=1e-4, rtol=0)
+        shard_db = generate(d8, "fus_shard8_db", mesh=make_mesh(8),
+                            device_blend=True)
+        np.testing.assert_allclose(shard_db, single, atol=2e-3, rtol=1e-4)
 
     def test_device_crop_gating(self, city):
         """crop='device' must NOT activate for trainer-feeding datasets:
