@@ -51,4 +51,18 @@ run bench.py --e2e --image --big --device-blend --device-img --fused fused2
 run bench.py --e2e --device-blend --big --fused fused2 --batch 4
 run bench.py --e2e --device-blend --big --fused fused2 --batch 4
 
+# 7. device traces of the two headline configs (item 5: whole-step MFU +
+#    top remaining device-time categories). Categorizer prints per-category
+#    device time; MFU = flops (scripts/mfu_accounting.py --count) / device
+#    time / measured peak (leg 1).
+runfull() {  # categorizer tables need more than the last 4 lines
+  echo "--- $* $(date -u +%FT%TZ) ---" | tee -a "$OUT"
+  timeout 2400 python "$@" 2>&1 | grep -v "^WARNING" | tail -60 | tee -a "$OUT"
+  echo "--- exit $? ---" | tee -a "$OUT"
+}
+runfull scripts/profile_trace.py --fused fused2 --batch 8 \
+    --out /tmp/r5_trace_serving
+runfull scripts/profile_trace.py --train --fused fused2 --batch 8 \
+    --out /tmp/r5_trace_train
+
 echo "=== done $(date -u +%FT%TZ) ===" | tee -a "$OUT"

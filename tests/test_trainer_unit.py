@@ -122,6 +122,36 @@ class TestDeviceMetrics:
                     use_cloud=True, mesh=make_mesh(1), donate=False)
 
 
+class TestPointWire:
+    def test_uint16_wire_step_matches_f32(self, rng):
+        """dataset.points.wire='uint16' through the TRAINING step: the model
+        dequantizes on device (models/model.py:78-84) with the same f32
+        multiply the host uses, so a step on the u16 wire must match a step
+        on the pre-dequantized f32 wire bit-for-bit."""
+        from tomosar2height_tpu.ops.sorted_scatter import (
+            dequantize_points_np,
+            quantize_points_u16,
+        )
+
+        batch = _batch(rng)
+        q = quantize_points_u16(batch["points"])
+        batch_f32 = dict(batch, points=dequantize_points_np(q))
+        batch_u16 = dict(batch, points=q)
+
+        def one_step(b):
+            trainer = Trainer(_tiny_model(), {"optimize_every": 1},
+                              use_cloud=True, mesh=make_mesh(1), donate=False)
+            state = trainer.init_state(jax.random.PRNGKey(0), batch_f32)
+            state = trainer.train_step(state, b, 1e-3)
+            return np.asarray(state.metric_acc), jax.tree.leaves(state.params)
+
+        acc_f, params_f = one_step(batch_f32)
+        acc_u, params_u = one_step(batch_u16)
+        np.testing.assert_array_equal(acc_u, acc_f)
+        for a, b in zip(params_u, params_f):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 class TestModuleNorms:
     def test_matches_host_numpy(self, rng):
         # on-device per-module norms (the watch production path; the host

@@ -134,9 +134,14 @@ def main(overrides=None):
                  else None)
     sorted_impl = cfg.select("model.encoder_kwargs.sorted_impl", "cumsum")
     aligned = sorted_impl in ("fused", "fused2")
+    # u16 point wire (dataset.points.wire): 6x less point-upload bytes per
+    # batch; aligned fused layouts only (PatchLoader enforces), the model
+    # dequantizes on device (models/model.py:78-84)
+    wire_points = str(cfg_dataset["points"].get("wire", "float32"))
     common = dict(bucket_sizes=buckets, fixed_bucket=cfg_dataset["points"]["train_bucket"],
                   sort_reso=sort_reso, aligned=aligned, n_workers=n_workers,
-                  tile_cells=tile_cells_for_impl(sorted_impl))
+                  tile_cells=tile_cells_for_impl(sorted_impl),
+                  wire_points=wire_points)
     loaders = {
         # det_stream under lock_seed: every train batch is a pure function of
         # (seed, epoch, batch index) and checkpoints record the stream
