@@ -214,9 +214,18 @@ def main(overrides=None):
         log.info("Resuming patch stream at epoch %s, batch %s.", *stream_pos)
     stream_pos = list(stream_pos) if stream_pos else None
 
+    # best-ckpt (validate) and periodic ckpt share a cadence (both every 100
+    # by default), so an improving iteration would fetch the ~130 MB
+    # params+opt tree device->host TWICE (~8 s each through the relay wire).
+    # Fetch once per iteration and serialize from the host copy.
+    fetch_cache = {"iter": None, "model": None, "opt": None}
+
     def save_ckpt(path):
-        checkpoint_io.module_dict["model"] = state.params
-        checkpoint_io.module_dict["optimizer"] = state.opt_state
+        if fetch_cache["iter"] != n_iter:
+            fetch_cache.update(iter=n_iter, model=jax.device_get(state.params),
+                               opt=jax.device_get(state.opt_state))
+        checkpoint_io.module_dict["model"] = fetch_cache["model"]
+        checkpoint_io.module_dict["optimizer"] = fetch_cache["opt"]
         checkpoint_io.save(path, n_iter=n_iter, loss_val_best=metric_val_best,
                            stream_pos=stream_pos,
                            training_time=time.time() - t_start + float(load_dict.get("training_time", 0.0)))
